@@ -1,0 +1,269 @@
+"""Vectorized hashing kernels: shingles, MinHash, SimHash, band keys.
+
+All kernels operate on whole Arrow/numpy batches — never per Python row — so a
+``map_batches(..., batch_format="pyarrow")`` stage stays zero-copy and vectorized.
+Everything is deterministic (fixed seeds, no process-salted ``hash()``) so Ray task
+retries reproduce identical signatures (required for lineage reconstruction).
+
+Shingle model: UTF-8 *byte* k-grams of the normalized text. Signature config
+(char 5-grams, 128 permutations, 64-bit SimHash) is mandated by BASELINE.json and
+mirrors the reference's fixed-config reproducibility stance
+(/root/reference/apps/api/services/smart_merger.py:36-41).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_U64 = np.uint64
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+_MIX1 = _U64(0xBF58476D1CE4E5B9)
+_MIX2 = _U64(0x94D049BB133111EB)
+
+# numpy intentionally wraps uint64 arithmetic; silence the overflow warnings once.
+_ERR = {"over": "ignore"}
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
+    """SplitMix64 finalizer — a strong 64-bit bit mixer (public domain algorithm)."""
+    with np.errstate(**_ERR):
+        z = (np.asarray(x, dtype=_U64) + _GOLDEN) if np.isscalar(x) else x.astype(_U64) + _GOLDEN
+        z = (z ^ (z >> _U64(30))) * _MIX1
+        z = (z ^ (z >> _U64(27))) * _MIX2
+        z = z ^ (z >> _U64(31))
+    return z if isinstance(z, np.ndarray) else _U64(z)
+
+
+_M64 = (1 << 64) - 1
+
+
+def hash_u64(x: int) -> int:
+    """Deterministic 64-bit hash of a Python int (pure-python SplitMix64 —
+    bit-identical to the vectorized ``splitmix64``)."""
+    z = (x + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def hash_bytes_u64(data: bytes, seed: int = 0) -> int:
+    """Deterministic 64-bit hash of a byte string (FNV-1a core + splitmix finalize)."""
+    h = _U64(0xCBF29CE484222325) ^ _U64(seed & 0xFFFFFFFFFFFFFFFF)
+    prime = _U64(0x100000001B3)
+    with np.errstate(**_ERR):
+        for b in data:
+            h = (h ^ _U64(b)) * prime
+    return int(splitmix64(np.array([h], dtype=_U64))[0])
+
+
+def _string_flat_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Return (flat utf8 byte buffer, int64 offsets) for an Arrow string array.
+
+    Nulls are treated as empty strings. Handles chunked arrays and array offsets.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_string())
+    if arr.null_count:
+        arr = arr.fill_null("")
+    # After cast+fill_null the array may still carry a slice offset.
+    buffers = arr.buffers()
+    offsets_all = np.frombuffer(buffers[1], dtype=np.int64)
+    offs = offsets_all[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    return data, offs.astype(np.int64, copy=False)
+
+
+def shingle_hashes(texts: pa.Array | list[str], k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Char (byte) k-gram shingle hashes for a batch of strings, fully vectorized.
+
+    Returns ``(flat, row_offsets)`` where ``flat`` is a uint64 array of shingle
+    hashes for all rows concatenated and ``row_offsets`` (len = nrows+1) delimits
+    each row's slice. Rows shorter than ``k`` bytes produce zero shingles.
+
+    Implementation: one rolling polynomial hash over the batch's flat UTF-8
+    buffer, then a vectorized gather of the window positions that do not cross a
+    row boundary, then a SplitMix64 finalize.
+    """
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(texts, type=pa.large_string())
+    data, offs = _string_flat_view(texts)
+    nrows = len(offs) - 1
+    starts = offs[:-1]
+    # valid window starts for row r: [offs[r], offs[r+1]-k] inclusive
+    ends = np.maximum(starts, offs[1:] - (k - 1))
+    counts = ends - starts
+    row_offsets = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_offsets[1:])
+    total = int(row_offsets[-1])
+    if total == 0 or data.size < k:
+        return np.empty(0, dtype=_U64), row_offsets
+
+    n_windows = data.size - k + 1
+    with np.errstate(**_ERR):
+        rolled = np.zeros(n_windows, dtype=_U64)
+        mult = _U64(1)
+        # Horner from the last byte of the window backwards: k vector ops total.
+        for j in range(k - 1, -1, -1):
+            rolled += data[j : j + n_windows].astype(_U64) * mult
+            mult = mult * _GOLDEN
+    # Gather valid (non-boundary-crossing) window positions per row.
+    idx = np.repeat(starts, counts) + (np.arange(total, dtype=np.int64) - np.repeat(row_offsets[:-1], counts))
+    return splitmix64(rolled[idx]), row_offsets
+
+
+def unique_per_row(flat: np.ndarray, row_offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deduplicate hash values within each row segment (vectorized, sort-based).
+
+    Returns new ``(flat, row_offsets)`` where each row's slice is its *set* of
+    values (sorted ascending — order within a row is irrelevant downstream).
+    """
+    nrows = len(row_offsets) - 1
+    if flat.size == 0:
+        return flat, row_offsets
+    row_ids = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(row_offsets))
+    order = np.lexsort((flat, row_ids))
+    f = flat[order]
+    r = row_ids[order]
+    keep = np.ones(f.size, dtype=bool)
+    keep[1:] = (f[1:] != f[:-1]) | (r[1:] != r[:-1])
+    f, r = f[keep], r[keep]
+    new_counts = np.bincount(r, minlength=nrows)
+    new_offsets = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=new_offsets[1:])
+    return f, new_offsets
+
+
+def minhash_signatures(
+    flat: np.ndarray,
+    row_offsets: np.ndarray,
+    num_perms: int = 128,
+    seed: int = 42,
+    perm_chunk: int = 16,
+) -> np.ndarray:
+    """128-permutation MinHash signatures over per-row shingle-hash sets.
+
+    Each "permutation" j is the keyed mixer ``splitmix64(x ^ seed_j)`` — the
+    standard salted-hash MinHash family. Returns a ``(nrows, num_perms)`` uint64
+    matrix. Rows with zero shingles get sentinel ``uint64 max`` (callers must
+    exclude them from LSH — the min-shingle floor).
+
+    Vectorization: per chunk of permutations, an ``(nshingles, chunk)`` mix
+    followed by ``np.minimum.reduceat`` over row boundaries; chunking bounds peak
+    memory at ``nshingles * perm_chunk * 8`` bytes.
+    """
+    nrows = len(row_offsets) - 1
+    sig = np.full((nrows, num_perms), np.iinfo(np.uint64).max, dtype=_U64)
+    if flat.size == 0 or nrows == 0:
+        return sig
+    counts = np.diff(row_offsets)
+    nz = counts > 0
+    seg_starts = row_offsets[:-1][nz]
+    with np.errstate(**_ERR):
+        seed_base = _U64(seed & 0xFFFFFFFFFFFFFFFF) * _GOLDEN
+        seeds = splitmix64(np.arange(num_perms, dtype=_U64) + seed_base)
+    for c0 in range(0, num_perms, perm_chunk):
+        chunk = seeds[c0 : c0 + perm_chunk]
+        mixed = splitmix64(flat[:, None] ^ chunk[None, :])  # (nshingles, chunk)
+        # reduceat over non-empty segments only: zero-width segments are skipped
+        # so each reduced span ends exactly at its row's end.
+        sig[nz, c0 : c0 + len(chunk)] = np.minimum.reduceat(mixed, seg_starts, axis=0)
+    return sig
+
+
+def simhash_signatures(flat: np.ndarray, row_offsets: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per row from shingle hashes (frequency-weighted).
+
+    bit_i(sig) = 1 iff sum over shingles of (2*bit_i(h) - 1) > 0. Rows with no
+    shingles get 0. Returns uint64 array of length nrows.
+    """
+    nrows = len(row_offsets) - 1
+    out = np.zeros(nrows, dtype=_U64)
+    if flat.size == 0 or nrows == 0:
+        return out
+    counts = np.diff(row_offsets)
+    nz = counts > 0
+    seg_starts = row_offsets[:-1][nz]
+    shifts = np.arange(64, dtype=_U64)
+    bits = ((flat[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int32)  # (n, 64)
+    contrib = 2 * bits - 1
+    sums = np.add.reduceat(contrib, seg_starts, axis=0)  # (n_nonzero_rows, 64)
+    bitvals = (sums > 0).astype(_U64)
+    with np.errstate(**_ERR):
+        packed = (bitvals << shifts[None, :]).sum(axis=1, dtype=_U64)
+    out[nz] = packed
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise Hamming distance between two uint64 arrays (vectorized popcount)."""
+    x = (np.asarray(a, dtype=_U64) ^ np.asarray(b, dtype=_U64)).view(np.uint8)
+    return np.unpackbits(x.reshape(-1, 8), axis=1).sum(axis=1).astype(np.int32)
+
+
+def band_keys(sig: np.ndarray, bands: int, rows: int, band_seed: int = 7) -> np.ndarray:
+    """LSH band keys: hash each band's r signature values into one uint64 key.
+
+    Returns ``(nrows, bands)`` uint64 where key = mix of (band index, the r
+    values). Two rows share a band key iff their signatures agree on that band's
+    rows (up to 64-bit hash collisions).
+    """
+    n, p = sig.shape
+    assert bands * rows == p, "bands*rows must equal signature width"
+    with np.errstate(**_ERR):
+        acc = np.zeros((n, bands), dtype=_U64)
+        grouped = sig.reshape(n, bands, rows)
+        for j in range(rows):
+            acc = splitmix64(acc ^ grouped[:, :, j])
+        band_ids = splitmix64(np.arange(bands, dtype=_U64) + _U64(band_seed))
+        acc = splitmix64(acc ^ band_ids[None, :])
+    return acc
+
+
+def phash_band_keys(phash: np.ndarray, bands: int = 4) -> np.ndarray:
+    """Band keys over a 64-bit perceptual hash: ``bands`` equal bit-slices.
+
+    With 4 bands of 16 bits, any pair at Hamming distance <= 3 is *guaranteed*
+    to share at least one intact band (pigeonhole), so exact-bucket grouping on
+    these keys is a complete candidate generator for Hamming <= 3.
+    """
+    ph = np.asarray(phash).astype(np.int64).view(_U64)
+    width = 64 // bands
+    mask = _U64((1 << width) - 1)
+    out = np.empty((ph.size, bands), dtype=_U64)
+    with np.errstate(**_ERR):
+        for b in range(bands):
+            chunk = (ph >> _U64(b * width)) & mask
+            out[:, b] = splitmix64(chunk ^ splitmix64(np.full(ph.size, b + 101, dtype=_U64)))
+    return out
+
+
+def text_hash_u64(texts: pa.Array | list[str], seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit content hash per string (vectorized).
+
+    Used for exact-dedup keys. Polynomial hash over the full byte string with
+    per-position golden-ratio powers, then SplitMix64 finalize. Empty/null
+    strings hash to splitmix64(seed).
+    """
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(texts, type=pa.large_string())
+    data, offs = _string_flat_view(texts)
+    nrows = len(offs) - 1
+    lengths = np.diff(offs)
+    with np.errstate(**_ERR):
+        if data.size:
+            pows = np.empty(data.size, dtype=_U64)
+            # position within row: global position minus row start
+            pos = np.arange(data.size, dtype=np.int64) - np.repeat(offs[:-1], lengths)
+            # golden^pos via cumulative product per row is costly; use mix(pos)^byte scheme:
+            pows = splitmix64(pos.astype(_U64) ^ _U64(seed & 0xFFFFFFFFFFFFFFFF) * _GOLDEN)
+            terms = splitmix64(data.astype(_U64) * _GOLDEN ^ pows)
+            sums = np.zeros(nrows, dtype=_U64)
+            nz = lengths > 0
+            if nz.any():
+                sums[nz] = np.add.reduceat(terms, offs[:-1][nz])
+        else:
+            sums = np.zeros(nrows, dtype=_U64)
+        out = splitmix64(sums ^ splitmix64(lengths.astype(_U64) + _U64(seed & 0xFFFFFFFFFFFFFFFF)))
+    return out

@@ -1,0 +1,384 @@
+"""Flagship pipeline: near-duplicate detection + clustering over image+caption tables.
+
+Ray-Data-first composition of the reference's Smart Merge phases
+(/root/reference/apps/api/services/smart_merger.py:576-827) at near-dup scale:
+
+  read -> signature map_batches (actor pool)                 [Phase 1 normalize]
+       -> exact pre-collapse groupby(caption_hash, phash)    [exact-dup pre-pass,
+                                                              MergeDB.py:776-797 analog]
+       -> LSH band emit + pHash bands + authority buckets    [Phase 2 blocking]
+       -> salted/capped bucket pair emit -> edge dedup       [candidate generation]
+       -> verify stage (staged decision table + neg rules)   [Phase 3 matching]
+       -> connected components -> cluster ids                [greedy 1:1 analog]
+       -> survivor selection (richest metadata)              [Phase 4 field merge]
+       -> canonical table + match_audit + borderline queue   [Phase 5 audit]
+
+Scale properties: image bytes never enter a shuffle (signatures and ids only);
+the exact pre-collapse bounds LSH input; hot buckets are capped with a
+sorted-by-pHash window fallback; every stage is deterministic, and stage
+boundaries checkpoint to a RunDir for mid-pipeline restart.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from bibexpy_ray.config import DedupConfig
+from bibexpy_ray.stages.lsh import (
+    BucketPairEmitter,
+    add_coarse_partition,
+    dedupe_pairs,
+    emit_authority_rows,
+    emit_caption_band_rows,
+    emit_phash_band_rows,
+)
+from bibexpy_ray.stages.signer import SignatureStage
+from bibexpy_ray.stages.survivor import select_survivors
+from bibexpy_ray.stages.unionfind import DRIVER_EDGE_LIMIT, clusters_driver
+from bibexpy_ray.stages.verify import EdgeVerifier
+from bibexpy_ray.state.checkpoint import RunDir
+
+#: columns the signature/feature path needs — bytes is deliberately absent
+FEATURE_INPUT_COLS = ["image_id", "caption", "phash", "fmt"]
+BROADCAST_LIMIT = 400_000
+
+
+@dataclass
+class DedupResult:
+    clusters: pd.DataFrame          # cluster_id, survivor_id, cluster_size, members
+    cluster_map: dict[str, str]     # member id -> cluster id (only ids in size>=2 clusters)
+    borderline: pd.DataFrame        # id_a, id_b, confidence, similarity
+    audit: pd.DataFrame             # verified edges (all stages)
+    metrics: dict
+
+    def assign_clusters(self, ds: rd.Dataset) -> rd.Dataset:
+        """Append cluster_id to a dataset of IMAGE_SCHEMA rows (broadcast map)."""
+        ref = ray.put(self.cluster_map)
+
+        def attach(batch: pd.DataFrame) -> pd.DataFrame:
+            cmap = ray.get(ref)
+            batch["cluster_id"] = [
+                cmap.get(i, i) for i in batch["image_id"]
+            ]
+            return batch
+
+        return ds.map_batches(attach, batch_format="pandas")
+
+    def canonical(self, ds: rd.Dataset) -> rd.Dataset:
+        """Survivor rows only (losers filtered out), with cluster_id attached.
+
+        The loser set (dup-cluster members minus survivors) is small relative to
+        the corpus, so it broadcasts; the full dataset streams through a single
+        vectorized filter — no shuffle of image bytes.
+        """
+        survivors = set(self.clusters["survivor_id"])
+        losers = {m for m, c in self.cluster_map.items() if m not in survivors}
+        cmap = self.cluster_map
+        ref = ray.put((losers, cmap))
+
+        def keep(batch: pd.DataFrame) -> pd.DataFrame:
+            lose, cm = ray.get(ref)
+            mask = ~batch["image_id"].isin(lose)
+            out = batch[mask].copy()
+            out["cluster_id"] = [cm.get(i, i) for i in out["image_id"]]
+            return out
+
+        return ds.map_batches(keep, batch_format="pandas")
+
+
+def _exact_group_edges(group: pd.DataFrame) -> pd.DataFrame:
+    """Edges inside one exact-content group (same caption hash AND pHash).
+
+    Negative-rule safe: members carrying *different* authority ids are never
+    linked (the determinative-id rule trumps exact content equality,
+    smart_merger.py:205-226); null-authority members link together and to the
+    single distinct authority subgroup when exactly one exists.
+    """
+    ids = sorted(group["image_id"].tolist())
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": [], "stage": [], "confidence": []})
+    auth = {
+        i: (a if isinstance(a, str) and a else None)
+        for i, a in zip(group["image_id"], group["_authority"])
+    }
+    distinct = sorted({a for a in auth.values() if a})
+    subgroups: list[list[str]] = []
+    if len(distinct) <= 1:
+        subgroups.append(ids)  # all content-equal, no conflicting ids
+    else:
+        nulls = [i for i in ids if auth[i] is None]
+        if nulls:
+            subgroups.append(nulls)
+        for a in distinct:
+            subgroups.append([i for i in ids if auth[i] == a])
+    rows_a, rows_b = [], []
+    for sub in subgroups:
+        if len(sub) < 2:
+            continue
+        rep = sub[0]
+        for other in sub[1:]:
+            rows_a.append(rep)
+            rows_b.append(other)
+    return pd.DataFrame(
+        {
+            "id_a": rows_a,
+            "id_b": rows_b,
+            "stage": ["0_exact"] * len(rows_a),
+            "confidence": [1.0] * len(rows_a),
+        }
+    )
+
+
+def _default_concurrency() -> int:
+    """Actor-pool size: leave one CPU for the read/write stages so the pool
+    never starves the rest of the streaming pipeline."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, cpus - 1)
+
+
+def compute_features(ds: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    """Signature stage over the metadata columns (actor pool, zero-copy Arrow)."""
+    cols = [c for c in FEATURE_INPUT_COLS if c in ds.schema().names]
+    return ds.select_columns(cols).map_batches(
+        SignatureStage,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.signer_batch_size,
+        concurrency=cfg.signer_concurrency or _default_concurrency(),
+    )
+
+
+def dedup_images(
+    ds: rd.Dataset,
+    cfg: DedupConfig | None = None,
+    run_dir: Optional[str] = None,
+) -> DedupResult:
+    """Run the full near-duplicate pipeline. ``ds`` must have IMAGE_SCHEMA columns
+    (bytes optional — never read here). Returns cluster assignments + side outputs.
+    """
+    cfg = cfg or DedupConfig()
+    rdir = RunDir(run_dir, config={"cfg": str(cfg)}) if run_dir else None
+    metrics: dict = {}
+
+    if ds.count() == 0:
+        empty = pd.DataFrame(
+            {"cluster_id": [], "survivor_id": [], "cluster_size": [], "members": []}
+        )
+        return DedupResult(
+            clusters=empty,
+            cluster_map={},
+            borderline=pd.DataFrame({"id_a": [], "id_b": []}),
+            audit=pd.DataFrame({"id_a": [], "id_b": [], "stage": []}),
+            metrics={"exact_edges": 0, "candidate_edges": 0, "verified_auto": 0,
+                     "borderline": 0, "clusters": 0},
+        )
+
+    def checkpoint(name, factory):
+        if rdir is None:
+            return factory()
+        return rdir.materialize(name, factory)
+
+    features = checkpoint("features", lambda: compute_features(ds, cfg))
+
+    n_coarse = max(16, int(ray.cluster_resources().get("CPU", 4)) * 2)
+
+    # ---- exact pre-collapse -------------------------------------------------
+    def exact_stage():
+        def exact_partition(part: pd.DataFrame) -> pd.DataFrame:
+            # one coarse hash-partition: vectorized segment scan over the
+            # (caption_hash, phash) sort; only >=2 segments reach python
+            part = part.sort_values(["_caption_hash", "phash", "image_id"], kind="mergesort")
+            k1 = part["_caption_hash"].to_numpy()
+            k2 = part["phash"].to_numpy()
+            import numpy as np
+
+            brk = np.r_[True, (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])]
+            starts = np.flatnonzero(brk)
+            ends = np.r_[starts[1:], len(part)]
+            outs = [
+                _exact_group_edges(part.iloc[s:e])
+                for s, e in zip(starts, ends)
+                if e - s >= 2
+            ]
+            if not outs:
+                return _exact_group_edges(part.iloc[:0])
+            return pd.concat(outs, ignore_index=True)
+
+        return (
+            features.select_columns(["image_id", "_caption_hash", "phash", "_authority"])
+            .map_batches(
+                lambda b: add_coarse_partition(b, "_caption_hash", n_coarse),
+                batch_format="pyarrow",
+            )
+            .groupby("_part")
+            .map_groups(exact_partition, batch_format="pandas")
+        )
+
+    exact_edges = checkpoint("exact_edges", exact_stage)
+
+    # representatives: drop exact-dup losers before LSH (candidate-volume bound)
+    exact_pd = exact_edges.to_pandas()
+    exact_losers: set[str] = set(exact_pd["id_b"]) if len(exact_pd) else set()
+    metrics["exact_edges"] = int(len(exact_pd))
+
+    loser_ref = ray.put(exact_losers)
+
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        # pure-Arrow filter: keeps the _minhash fixed_size_list column intact
+        lose = ray.get(loser_ref)
+        if not lose:
+            return batch
+        mask = pa.compute.invert(
+            pa.compute.is_in(batch.column("image_id"), value_set=pa.array(sorted(lose)))
+        )
+        return batch.filter(mask)
+
+    reps = features.map_batches(drop_losers, batch_format="pyarrow")
+
+    # ---- candidate generation ----------------------------------------------
+    def candidates_stage():
+        bands = reps.map_batches(
+            lambda b: emit_caption_band_rows(b, cfg), batch_format="pyarrow"
+        )
+        phash_bands = reps.map_batches(
+            lambda b: emit_phash_band_rows(b, cfg), batch_format="pyarrow"
+        )
+        auth_rows = reps.map_batches(
+            lambda b: emit_authority_rows(b, cfg), batch_format="pyarrow"
+        )
+        bucket_rows = bands.union(phash_bands).union(auth_rows)
+        emitter = BucketPairEmitter(cfg.bucket_pair_cap)
+
+        def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            return emitter(df)
+
+        pairs = (
+            bucket_rows.map_batches(
+                lambda b: add_coarse_partition(b, "bucket_key", n_coarse),
+                batch_format="pyarrow",
+            )
+            .groupby("_part")
+            .map_groups(emit_pairs, batch_format="pandas")
+        )
+        # a pair appears in many buckets: dedupe on (id_a, id_b)
+        return dedupe_pairs(pairs, n_coarse)
+
+    edges_raw = checkpoint("edges_raw", candidates_stage)
+
+    # ---- verification -------------------------------------------------------
+    feat_cols = ["image_id", "_norm_caption", "phash", "_authority"]
+
+    def verify_stage():
+        n_reps = reps.count()
+        edge_cols = edges_raw.select_columns(["id_a", "id_b"])
+        if n_reps <= BROADCAST_LIMIT:
+            feat_pd = reps.select_columns(feat_cols).to_pandas().set_index("image_id")
+            feat_ref = ray.put(feat_pd)
+
+            def join_verify(batch: pd.DataFrame) -> pd.DataFrame:
+                feats = ray.get(feat_ref)
+                fa = feats.reindex(batch["id_a"])
+                fb = feats.reindex(batch["id_b"])
+                joined = pd.DataFrame(
+                    {
+                        "id_a": batch["id_a"].to_numpy(),
+                        "id_b": batch["id_b"].to_numpy(),
+                        "_norm_caption_a": fa["_norm_caption"].to_numpy(),
+                        "_norm_caption_b": fb["_norm_caption"].to_numpy(),
+                        "phash_a": fa["phash"].to_numpy(),
+                        "phash_b": fb["phash"].to_numpy(),
+                        "_authority_a": fa["_authority"].to_numpy(),
+                        "_authority_b": fb["_authority"].to_numpy(),
+                    }
+                )
+                return EdgeVerifier(cfg)(joined)
+
+            return edge_cols.map_batches(join_verify, batch_format="pandas")
+        # scale path: hash-partitioned joins (bytes-free feature table)
+        n_parts = max(8, n_reps // 500_000)
+        fa = reps.select_columns(feat_cols).rename_columns(
+            {c: (c + "_a" if c != "image_id" else "id_a") for c in feat_cols}
+        )
+        fb = reps.select_columns(feat_cols).rename_columns(
+            {c: (c + "_b" if c != "image_id" else "id_b") for c in feat_cols}
+        )
+        joined = edge_cols.join(fa, "inner", n_parts, on=("id_a",)).join(
+            fb, "inner", n_parts, on=("id_b",)
+        )
+        return joined.map_batches(
+            EdgeVerifier,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pandas",
+            concurrency=_default_concurrency(),
+        )
+
+    verified = checkpoint("verified", verify_stage)
+    verified_pd = verified.to_pandas()
+    borderline = verified_pd[verified_pd["stage"] == "5_borderline"].reset_index(drop=True)
+    auto = verified_pd[
+        (verified_pd["stage"] != "5_borderline") & (verified_pd["confidence"] >= 0.9)
+    ]
+    metrics["candidate_edges"] = int(edges_raw.count())
+    metrics["verified_auto"] = int(len(auto))
+    metrics["borderline"] = int(len(borderline))
+
+    # ---- connected components ----------------------------------------------
+    all_edges = list(zip(auto["id_a"], auto["id_b"]))
+    if len(exact_pd):
+        all_edges += list(zip(exact_pd["id_a"], exact_pd["id_b"]))
+    if len(all_edges) > DRIVER_EDGE_LIMIT:
+        raise NotImplementedError(
+            "edge set exceeds driver capacity; use stages.unionfind.clusters_distributed"
+        )
+    cluster_map = clusters_driver(all_edges)
+    metrics["clusters"] = len(set(cluster_map.values()))
+
+    # ---- survivor selection -------------------------------------------------
+    if cluster_map:
+        cmap_ref = ray.put(cluster_map)
+
+        def members_of(batch: pd.DataFrame) -> pd.DataFrame:
+            cm = ray.get(cmap_ref)
+            sub = batch[batch["image_id"].isin(cm.keys())].copy()
+            sub["cluster_id"] = [cm[i] for i in sub["image_id"]]
+            return sub[["cluster_id", "image_id", "fmt", "caption"]]
+
+        clusters = (
+            features.select_columns(["image_id", "fmt", "caption"])
+            .map_batches(members_of, batch_format="pandas")
+            .groupby("cluster_id")
+            .map_groups(select_survivors, batch_format="pandas")
+            .to_pandas()
+        )
+    else:
+        clusters = pd.DataFrame(
+            {"cluster_id": [], "survivor_id": [], "cluster_size": [], "members": []}
+        )
+
+    if rdir is not None:
+        rdir.mark_done("result", metrics)
+
+    return DedupResult(
+        clusters=clusters,
+        cluster_map=cluster_map,
+        borderline=borderline,
+        audit=verified_pd,
+        metrics=metrics,
+    )
+
+
+def read_corpus(path: str) -> rd.Dataset:
+    """Read an image+caption table (parquet dir/file; Lance when available)."""
+    if path.endswith(".lance"):
+        try:
+            return rd.read_lance(path)  # lance not installed in this sandbox
+        except (ImportError, AttributeError) as e:  # pragma: no cover
+            raise NotImplementedError("Lance reader requires the lance package") from e
+    return rd.read_parquet(path)

@@ -1,0 +1,221 @@
+"""LSH candidate generation: band emit -> bucket groupby -> capped pair emit.
+
+The Ray-native analog of the reference's blocking phase
+(/root/reference/apps/api/services/smart_merger.py:185-198 build_blocks +
+:641-651 per-block candidate cross-product), generalized to MinHash band
+buckets + pHash bit-slice buckets + authority/exact-hash buckets.
+
+Skew handling (SURVEY.md §4.3): rows below the min-shingle floor never enter
+caption LSH; buckets whose full cross-product exceeds ``bucket_pair_cap`` fall
+back to a sorted-by-pHash sliding window (near-pHash pairs — the only ones
+that can survive verification in a mega-bucket — remain adjacent), and the
+dropped-pair count is recorded per bucket in the metrics side-output.
+
+Only (band_key:uint64, image_id:string [, phash]) rows enter the shuffle —
+image bytes never do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from bibexpy_ray.config import DedupConfig
+from bibexpy_ray.functions import hashing
+
+
+def emit_caption_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """(signed batch) -> (bucket_key, image_id) rows for MinHash LSH bands.
+
+    Rows with fewer than ``cfg.min_shingles`` shingles are excluded (degenerate
+    captions — the reference's empty-surname catch-all block analog).
+    """
+    n = batch.num_rows
+    ids = batch.column("image_id")
+    n_sh = batch.column("_n_shingles").to_numpy(zero_copy_only=False)
+    mh = batch.column("_minhash")
+    if isinstance(mh, pa.ChunkedArray):
+        mh = mh.combine_chunks()
+    if isinstance(mh, pa.ExtensionArray):  # e.g. Ray tensor ext. after a pandas hop
+        sig = np.asarray(mh.to_numpy(zero_copy_only=False)).reshape(n, cfg.num_perms)
+    else:
+        sig = np.asarray(mh.flatten()).reshape(n, cfg.num_perms)
+    sig = sig.astype(np.uint64, copy=False)
+    keys = hashing.band_keys(sig, cfg.lsh_bands, cfg.lsh_rows)  # (n, bands)
+    keep = n_sh >= cfg.min_shingles
+    keys = keys[keep]
+    id_rep = ids.filter(pa.array(keep)).to_pylist()
+    nk = keys.shape[0]
+    return pa.table(
+        {
+            "bucket_key": pa.array(keys.ravel(), type=pa.uint64()),
+            "image_id": pa.array(np.repeat(np.asarray(id_rep, dtype=object), cfg.lsh_bands)),
+            "phash": pa.array(
+                np.repeat(
+                    batch.column("phash").to_numpy(zero_copy_only=False)[keep], cfg.lsh_bands
+                ),
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def emit_phash_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """(batch with phash) -> (bucket_key, image_id) rows for pHash bit-slices.
+
+    4 bands of 16 bits: complete for Hamming <= 3 (pigeonhole) — the Stage-2
+    (pHash-exact / near) candidate generator.
+    """
+    ph = batch.column("phash").to_numpy(zero_copy_only=False)
+    keys = hashing.phash_band_keys(ph, cfg.phash_bands)
+    n = len(ph)
+    return pa.table(
+        {
+            "bucket_key": pa.array(keys.ravel(), type=pa.uint64()),
+            "image_id": pa.array(
+                np.repeat(np.asarray(batch.column("image_id").to_pylist(), dtype=object), cfg.phash_bands)
+            ),
+            "phash": pa.array(np.repeat(ph, cfg.phash_bands), type=pa.int64()),
+        }
+    )
+
+
+def emit_authority_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """(signed batch) -> (bucket_key, image_id) for rows carrying an authority id.
+
+    Authority-equal pairs are Stage-1 candidates (DOI-exact analog,
+    smart_merger.py:254-265) — bucket key = hash of the authority string.
+    """
+    mask = batch.column("_authority").is_valid()
+    sub = batch.filter(mask)
+    if sub.num_rows == 0:
+        return pa.table(
+            {
+                "bucket_key": pa.array([], type=pa.uint64()),
+                "image_id": pa.array([], type=pa.string()),
+                "phash": pa.array([], type=pa.int64()),
+            }
+        )
+    keys = hashing.text_hash_u64(sub.column("_authority"), seed=11)
+    return pa.table(
+        {
+            "bucket_key": pa.array(keys, type=pa.uint64()),
+            "image_id": sub.column("image_id").cast(pa.string()),
+            "phash": sub.column("phash").cast(pa.int64()),
+        }
+    )
+
+
+class BucketPairEmitter:
+    """Vectorized candidate-pair emission over a *hash partition* of bucket rows.
+
+    Ray's ``groupby(key).map_groups`` pays a pandas-group construction per
+    bucket — ruinous when buckets number in the millions and average ~1 row.
+    Instead the pipeline coarse-partitions rows by ``hash(bucket_key) % P``
+    (every bucket lands wholly in one partition) and this callable processes a
+    whole partition: sort by key, segment boundaries with one vector compare,
+    emit size-2 buckets fully vectorized, loop only over the rare >=3 buckets.
+
+    Hot buckets: full cross-product while |bucket| choose 2 <= cap; beyond the
+    cap a sorted-by-pHash sliding window (near-pHash pairs — the only ones that
+    can survive verification in a mega-bucket — stay adjacent) plus a
+    dropped-pair count column so metrics report truncation (no silent caps).
+    """
+
+    def __init__(self, cap: int = 2048, window: int = 8):
+        self.cap = cap
+        self.window = window
+
+    def __call__(self, part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return _EMPTY_PAIRS.copy()
+        part = part.sort_values(["bucket_key", "image_id"], kind="mergesort")
+        keys = part["bucket_key"].to_numpy()
+        ids = part["image_id"].to_numpy()
+        ph = part["phash"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        sizes = ends - starts
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        # size-2 buckets: the overwhelming majority — one vectorized emit
+        two = starts[sizes == 2]
+        if len(two):
+            out_a.append(ids[two])
+            out_b.append(ids[two + 1])
+            out_d.append(np.zeros(len(two), dtype=np.int64))
+        for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+            m = e - s
+            n_pairs = m * (m - 1) // 2
+            if n_pairs <= self.cap:
+                ia, ib = np.triu_indices(m, k=1)
+                a, b = ids[s:e][ia], ids[s:e][ib]
+                d = np.zeros(len(ia), dtype=np.int64)
+            else:
+                order = np.argsort(ph[s:e], kind="stable")
+                seg = ids[s:e][order]
+                w = self.window
+                a = np.concatenate([seg[:-off] for off in range(1, w + 1)])
+                b = np.concatenate([seg[off:] for off in range(1, w + 1)])
+                d = np.full(len(a), n_pairs - len(a), dtype=np.int64)
+            out_a.append(a)
+            out_b.append(b)
+            out_d.append(d)
+        if not out_a:
+            return _EMPTY_PAIRS.copy()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "dropped": np.concatenate(out_d)})
+
+
+_EMPTY_PAIRS = pd.DataFrame(
+    {
+        "id_a": pd.Series([], dtype=object),
+        "id_b": pd.Series([], dtype=object),
+        "dropped": pd.Series([], dtype=np.int64),
+    }
+)
+
+
+def dedupe_pairs(pairs_ds, num_partitions: int):
+    """Distinct (id_a, id_b) with max(dropped) — hash-partitioned.
+
+    Ray's multi-column string-key ``groupby().max()`` is a sort-based aggregate
+    with per-group overhead (66 s for 170 k rows measured); partitioning by a
+    hash of the pair and deduplicating with a vectorized pandas pass inside each
+    partition is ~50x faster and shuffles the same bytes exactly once.
+    """
+    import pyarrow.compute as pc
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        combined = pc.binary_join_element_wise(
+            batch.column("id_a").cast(pa.string()),
+            batch.column("id_b").cast(pa.string()),
+            "|",
+        )
+        k = hashing.text_hash_u64(combined)
+        part = (k % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    def dedupe(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values("dropped", ascending=False, kind="mergesort")
+        out = part.drop_duplicates(subset=["id_a", "id_b"], keep="first")
+        return out[["id_a", "id_b", "dropped"]]
+
+    return (
+        pairs_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(dedupe, batch_format="pandas")
+    )
+
+
+def add_coarse_partition(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
+    """Append ``_part = hash(key) % P`` — the explicit hash-partitioning column
+    for coarse groupby (whole buckets colocate; P bounds group count)."""
+    k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    part = (hashing.splitmix64(k) % np.uint64(num_partitions)).astype(np.int32)
+    return batch.append_column("_part", pa.array(part, type=pa.int32()))

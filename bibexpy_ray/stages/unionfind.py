@@ -1,0 +1,103 @@
+"""Connected components over verified duplicate edges -> cluster ids.
+
+The reference's transitive clustering is an in-memory single-link pass
+(_greedy_cluster, /root/reference/apps/api/services/disambiguation/blocking.py:116-140);
+at scale the analog is connected components over the verified edge set.
+
+Two implementations:
+
+- ``clusters_driver``: classic union-find on the driver. Verified edges are a
+  tiny fraction of rows (post-LSH, post-verification), so at the dup rates this
+  engine targets the edge list fits the driver comfortably; this is the default
+  below ``DRIVER_EDGE_LIMIT`` edges.
+- ``clusters_distributed``: hash-partitioned iterative min-label propagation
+  (pointer jumping) expressed as Ray Dataset ops — O(log n) rounds of
+  groupby-min; the scale path when the edge set itself is too large to collect.
+  (BTS, ICDE 2024 is the load-balanced blueprint — see PAPERS.md.)
+
+Canonical cluster id = lexicographic min member id — order-free and
+deterministic regardless of Ray block ordering (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+DRIVER_EDGE_LIMIT = 5_000_000
+
+
+def clusters_driver(edges: Iterable[tuple[str, str]]) -> dict[str, str]:
+    """Union-find -> {member_id: canonical_min_id} for every id seen in edges."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by lexicographic min keeps the canonical choice order-free
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+    return {x: find(x) for x in list(parent)}
+
+
+def clusters_distributed(edges_ds, max_rounds: int = 20):
+    """Min-label propagation over an edges Dataset (id_a, id_b) -> Dataset
+    (image_id, cluster_id).
+
+    Each round: every endpoint adopts the min label over its neighborhood
+    (including itself); converges when no label changes. Rounds are
+    groupby-shuffles on the id key — O(log(max component diameter)) rounds for
+    the near-star components dedup produces.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    # labels: start as identity over all endpoint ids
+    ids = edges_ds.select_columns(["id_a"]).rename_columns({"id_a": "image_id"}).union(
+        edges_ds.select_columns(["id_b"]).rename_columns({"id_b": "image_id"})
+    ).unique("image_id")
+    labels = ids.map_batches(
+        lambda df: df.assign(cluster_id=df["image_id"]), batch_format="pandas"
+    )
+    edges = edges_ds.select_columns(["id_a", "id_b"]).materialize()
+    n_parts = max(2, edges.num_blocks())
+
+    for _ in range(max_rounds):
+        lab_a = labels.rename_columns({"image_id": "id_a", "cluster_id": "lab_a"})
+        lab_b = labels.rename_columns({"image_id": "id_b", "cluster_id": "lab_b"})
+        j = edges.join(lab_a, "inner", n_parts, on=("id_a",)).join(
+            lab_b, "inner", n_parts, on=("id_b",)
+        )
+
+        def emit_min(df: pd.DataFrame) -> pd.DataFrame:
+            lo = df[["lab_a", "lab_b"]].min(axis=1)
+            return pd.concat(
+                [
+                    pd.DataFrame({"image_id": df["id_a"], "cluster_id": lo}),
+                    pd.DataFrame({"image_id": df["id_b"], "cluster_id": lo}),
+                ]
+            )
+
+        prop = j.map_batches(emit_min, batch_format="pandas").union(labels)
+        new_labels = prop.groupby("image_id").min("cluster_id")
+        new_labels = new_labels.rename_columns({"min(cluster_id)": "cluster_id"}).materialize()
+        # convergence check: any label changed?
+        merged = labels.rename_columns({"cluster_id": "old"}).join(
+            new_labels, "inner", n_parts, on=("image_id",)
+        )
+        changed = merged.map_batches(
+            lambda df: pd.DataFrame({"c": [int((df["old"] != df["cluster_id"]).sum())]}),
+            batch_format="pandas",
+        ).sum("c")
+        labels = new_labels
+        if not changed:
+            break
+    return labels

