@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-dup pipeline (signature → LSH → staged
+verify → union-find → survivor) on the sf0.001 documents table adapted into
+the image+caption schema. ``queries()`` exposes every implemented operator
+from SURVEY.md §2 plus the training-data ops (dedup family, ANN, text
+analysis, multimodal); ``oracle_sql()`` gives DuckDB equivalents where the op
+is SQL-expressible (near-dup verification returns integer shingle-set sizes
+precisely so these hash-match).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,225 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents → image-schema adapter →
+    full staged near-dup pipeline → per-row cluster assignment."""
+    from bibexpy_ray.pipelines.dedup_images import dedup_images
+    from bibexpy_ray.pipelines.multimodal import documents_as_corpus
+
+    corpus = documents_as_corpus(SF0001)
+    result = dedup_images(corpus)
+    return result.assign_clusters(corpus).select_columns(
+        ["image_id", "caption", "cluster_id"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from bibexpy_ray.pipelines import ann, docdedup, multimodal, relational, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # filters (filter_engine analogs)
+        "filter_range": relational.filter_numeric_range,
+        "filter_in_set": relational.filter_set_membership,
+        "filter_contains": relational.filter_contains_any,
+        "filter_fulltext": relational.filter_boolean_fulltext,
+        "filter_quality": relational.filter_data_quality,
+        # aggregations / statistics
+        "pricing_summary": relational.pricing_summary,
+        "year_histogram": relational.year_histogram,
+        "top_event_types": relational.top_event_types,
+        "quality_stats": relational.quality_stats,
+        "facets": relational.facets,
+        "value_buckets": relational.value_buckets,
+        # joins (broadcast small-side)
+        "revenue_by_nation": relational.revenue_by_nation,
+        "brand_revenue": relational.brand_revenue,
+        # windowed/sessionized aggregate
+        "sessionize": relational.sessionize,
+        # text analysis
+        "token_stats": textstats.token_stats,
+        "quality_score": textstats.quality_score,
+        "lang_id": textstats.lang_id,
+        "fingerprint": textstats.fingerprint,
+        # dedup family
+        "exact_dedup": docdedup.exact_dedup,
+        "neardup_pairs_char5": docdedup.neardup_pairs_char5,
+        "neardup_pairs_word3": docdedup.neardup_pairs_word3,
+        "minhash_clusters": docdedup.minhash_clusters,
+        "simhash_pairs": docdedup.simhash_pairs,
+        # similarity search
+        "ann_topk": ann.ann_topk,
+        "embedding_neardup": ann.embedding_neardup_pairs,
+        "embedding_neardup_lsh": ann.embedding_neardup_lsh,
+        # multimodal (synthetic image corpus — no external data)
+        "image_decode_stats": multimodal.image_decode_stats,
+        "image_dedup_clusters": multimodal.image_dedup_clusters,
+    }
+
+
+_CENTS = "CAST(round({col}*100, 0) AS BIGINT)"
+
+
+def _stopword_sql_list() -> str:
+    from bibexpy_ray.pipelines.textstats import STOPWORD_LIST
+
+    return ", ".join(f"'{w}'" for w in STOPWORD_LIST)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = _stopword_sql_list()
+    ep = _CENTS.format(col="l_extendedprice")
+    disc = _CENTS.format(col="l_discount")
+    qty = _CENTS.format(col="l_quantity")
+    tp = _CENTS.format(col="o_totalprice")
+    return {
+        "filter_range": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_totalprice >= 1000 AND o_totalprice < 150000 "
+            "AND o_orderstatus = 'F'"
+        ),
+        "filter_in_set": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem "
+            "WHERE l_returnflag IN ('A','R') AND l_quantity < 10"
+        ),
+        "filter_contains": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE text LIKE '%spark%' OR text LIKE '%window%'"
+        ),
+        "filter_fulltext": (
+            "SELECT doc_id FROM documents WHERE "
+            "((text LIKE '%spark%' AND text LIKE '%join%') OR "
+            "(text LIKE '%merge%' AND text LIKE '%agg%')) "
+            "AND text NOT LIKE '%batch%'"
+        ),
+        "filter_quality": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE (props IS NULL OR trim(props) = '' "
+            "OR regexp_matches(props, '^\\{\"k\": [0-9]\\}$')) "
+            "AND event_type IS NOT NULL AND event_type <> ''"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            f"CAST(SUM({qty}) AS BIGINT) AS sum_qty_x100, "
+            f"CAST(SUM({ep}) AS BIGINT) AS sum_base_cents, "
+            f"CAST(SUM({ep} * (100 - {disc})) AS BIGINT) AS sum_disc_cents_x100, "
+            "COUNT(*) AS count_order, "
+            f"(CAST(SUM({qty}) AS DOUBLE) / 100.0) / COUNT(*) AS avg_qty "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "year_histogram": (
+            "SELECT year(o_orderdate) AS o_year, COUNT(*) AS n "
+            "FROM orders GROUP BY 1"
+        ),
+        "top_event_types": (
+            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 "
+            "ORDER BY n DESC, event_type LIMIT 5"
+        ),
+        "quality_stats": (
+            "SELECT 'lang' AS column_name, "
+            "count(*) FILTER (WHERE lang IS NOT NULL AND trim(lang) <> '') AS n_filled, "
+            "count(*) FILTER (WHERE lang IS NULL OR trim(lang) = '') AS n_missing "
+            "FROM documents "
+            "UNION ALL SELECT 'n_chars', count(n_chars), count(*) - count(n_chars) FROM documents "
+            "UNION ALL SELECT 'source', "
+            "count(*) FILTER (WHERE source IS NOT NULL AND trim(source) <> ''), "
+            "count(*) FILTER (WHERE source IS NULL OR trim(source) = '') FROM documents "
+            "UNION ALL SELECT 'text', "
+            "count(*) FILTER (WHERE text IS NOT NULL AND trim(text) <> ''), "
+            "count(*) FILTER (WHERE text IS NULL OR trim(text) = '') FROM documents"
+        ),
+        "facets": (
+            "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars, "
+            "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars "
+            "FROM documents GROUP BY lang, source"
+        ),
+        "value_buckets": (
+            "SELECT CAST(floor(value/100.0) AS BIGINT) AS bucket, COUNT(*) AS n, "
+            "MIN(value) AS min_value, MAX(value) AS max_value "
+            "FROM events GROUP BY 1"
+        ),
+        "revenue_by_nation": (
+            f"SELECT n_name, CAST(SUM({tp}) AS BIGINT) AS revenue_cents, COUNT(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "brand_revenue": (
+            f"SELECT p_brand, CAST(SUM({ep} * (100 - {disc})) AS BIGINT) AS revenue_cents_x100, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
+        ),
+        "sessionize": (
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "COUNT(*) FILTER (WHERE prev_ts IS NULL "
+            "OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000) AS n_sessions "
+            "FROM (SELECT user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
+            "FROM events) t GROUP BY user_id"
+        ),
+        "token_stats": (
+            "SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({stop}))) AS BIGINT) AS stop_cnt, "
+            "(n_chars >= 50 AND n_chars <= 20000 AND "
+            f"2 * CAST(len(list_filter(string_split(text, ' '), t -> t IN ({stop}))) AS BIGINT) "
+            "<= CAST(len(string_split(text, ' ')) AS BIGINT)) AS quality_ok "
+            "FROM documents"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "neardup_pairs_char5": (
+            "WITH sh AS (SELECT doc_id, list_distinct([substr(text, CAST(i AS INT), 5) "
+            "FOR i IN range(1, CAST(len(text) AS BIGINT) - 3)]) AS gs "
+            "FROM documents WHERE len(text) >= 5), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter_size, "
+            "CAST(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS BIGINT) AS union_size "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, inter_size, union_size FROM p "
+            "WHERE inter_size >= 0.8 * union_size"
+        ),
+        "neardup_pairs_word3": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct([array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+2], ' ') "
+            "FOR i IN range(1, CAST(len(ts) AS BIGINT) - 1)]) AS gs "
+            "FROM toks WHERE len(ts) >= 3), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter_size, "
+            "CAST(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS BIGINT) AS union_size "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, inter_size, union_size FROM p "
+            "WHERE inter_size >= 0.5 * union_size"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id < 8), "
+            "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim "
+            "FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
+            "r AS (SELECT query_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "FROM s) "
+            "SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5"
+        ),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+        ),
+        # no oracle (non-SQL-expressible → driver rows-only check):
+        # minhash_clusters, simhash_pairs, lang_id, fingerprint,
+        # embedding_neardup_lsh, image_decode_stats, image_dedup_clusters
+    }

@@ -1,0 +1,162 @@
+"""Benchmark entry point — the driver runs this per round (BENCH_r{N}.json).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+with ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "num_cpus": N}.
+
+``--scaling`` runs the flagship image-dedup pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same pre-materialized input and reports both
+throughputs plus scaling efficiency — the sandbox substitute for the north
+rule's N vs 4N node criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: headline pipelines benchmarked per round
+HEADLINE = [
+    "image_dedup_clusters",   # flagship: full staged near-dup over the image corpus
+    "neardup_pairs_char5",    # MinHash-LSH + exact-Jaccard verify on documents
+    "minhash_clusters",       # + union-find cluster assignment
+    "simhash_pairs",          # SimHash banding near-dup
+    "exact_dedup",            # exact content dedup
+    "pricing_summary",        # combiner-pattern aggregation over lineitem
+    "revenue_by_nation",      # broadcast join rollup
+    "sessionize",             # windowed per-user aggregate (groupby shuffle)
+    "ann_topk",               # brute-force cosine top-k
+    "token_stats",            # vectorized text analysis
+    "image_decode_stats",     # actor-pool binary decode stage
+]
+
+
+def _consume(result) -> int:
+    """Force full execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        return result.count()
+    if isinstance(result, (pd.DataFrame, pa.Table)):
+        return len(result)
+    return 0
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    # pre-materialize the synthetic image corpus so generation isn't timed
+    from bibexpy_ray.pipelines.multimodal import corpus_path_for
+
+    corpus_path_for(SF_DIR)
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        rows[name] = _consume(fn(SF_DIR))
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({rows[name]} rows)", file=sys.stderr, flush=True)
+    ray.shutdown()
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    return {
+        "metric": "headline pipeline wall time (image dedup + doc dedup + relational + ann)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def _scaling_child(num_cpus: int, corpus: str) -> dict:
+    """Run the flagship dedup once in THIS process at the given parallelism."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data as rd
+
+    from bibexpy_ray.config import DedupConfig
+    from bibexpy_ray.pipelines.dedup_images import dedup_images
+
+    ds = rd.read_parquet(corpus)
+    n = ds.count()
+    t0 = time.time()
+    result = dedup_images(ds, DedupConfig())
+    dt = time.time() - t0
+    out = {
+        "num_cpus": num_cpus,
+        "rows": n,
+        "seconds": round(dt, 3),
+        "rows_per_sec": round(n / dt, 1),
+        "clusters": int(result.metrics.get("clusters", 0)),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, two parallelism levels, fresh processes (N vs 4N evidence)."""
+    from bibexpy_ray.pipelines.multimodal import corpus_path_for
+
+    # materialize the input once (outside timed runs) using a scratch Ray
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    corpus = corpus_path_for(SF_DIR)
+    ray.shutdown()
+
+    results = []
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child",
+             str(cpus), corpus],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    t8, t32 = results[0]["rows_per_sec"], results[1]["rows_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, flagship dedup at num_cpus=8 vs 32",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "runs": results,
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        print(json.dumps(_scaling_child(int(sys.argv[2]), sys.argv[3])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,215 @@
+"""Similarity search over the embeddings table (list<float> vectors).
+
+Brute-force cosine top-k as the exactness baseline — per-batch numpy matmul
+against a broadcast query matrix (`ray.put` once, read per task) — plus an
+LSH-bucketed near-dup variant as the scale path. All float math in float64 so
+scores match the DuckDB oracle's double-precision ``list_cosine_similarity``.
+
+Scale notes: the query matrix broadcasts (k×d doubles — tiny); the corpus
+streams through map_batches; per-batch partial top-k reduces driver traffic to
+(#blocks × k × topk) rows. For corpus×corpus near-dup the full normalized
+matrix broadcasts below ``BROADCAST_VEC_LIMIT`` rows; beyond that the
+random-hyperplane LSH variant (`embedding_neardup_lsh`) buckets vectors by
+sign-pattern so only same-bucket pairs are scored.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from bibexpy_ray.functions import hashing
+from bibexpy_ray.pipelines.tables import read_table
+
+BROADCAST_VEC_LIMIT = 2_000_000
+
+
+def _embedding_matrix(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+    return ids, mat
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
+    """Exact cosine top-k: first ``n_queries`` vec_ids against the corpus.
+
+    Per-batch partial top-k (numpy matmul, float64) → driver merge. Ties break
+    (score desc, vec_id asc) deterministically; self-matches excluded.
+    """
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # small filtered read for the query side (vectorized filter, streams once)
+    import pyarrow.compute as pc
+
+    q_pd = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b.column("vec_id"), n_queries)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids, q_mat = _embedding_matrix(q_pd)
+    q_norm = _normalize(q_mat)
+    ref = ray.put((q_ids, q_norm))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qi, qn = ray.get(ref)
+        ids, mat = _embedding_matrix(batch)
+        sims = _normalize(mat) @ qn.T  # (batch, nq)
+        rows = []
+        for j, qid in enumerate(qi):
+            s = sims[:, j]
+            mask = ids != qid  # exclude self
+            cand_ids, cand_s = ids[mask], s[mask]
+            if cand_ids.size == 0:
+                continue
+            top = min(len(cand_ids), k)
+            # deterministic partial top-k: sort by (-sim, id)
+            order = np.lexsort((cand_ids, -cand_s))[:top]
+            rows.append(
+                pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": cand_ids[order], "sim": cand_s[order]}
+                )
+            )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "neighbor_id": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out_rows = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        out_rows.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(g), qid, dtype=np.int64),
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+                }
+            )
+        )
+    if not out_rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "neighbor_id": pd.Series([], dtype=np.int64),
+            }
+        )
+    return pd.concat(out_rows, ignore_index=True).sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+def embedding_neardup_pairs(sf_dir: str, tau: float = 0.4) -> pd.DataFrame:
+    """All vector pairs with cosine ≥ τ — exact (brute force vs broadcast
+    normalized matrix). Output is id-only so it hash-matches the SQL oracle
+    (float scores differ in the last ulp across sum orders)."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()
+    if n > BROADCAST_VEC_LIMIT:  # pragma: no cover - scale path
+        raise NotImplementedError("use embedding_neardup_lsh for very large corpora")
+    full = ds.to_pandas()
+    all_ids, all_mat = _embedding_matrix(full)
+    all_norm = _normalize(all_mat)
+    ref = ray.put((all_ids, all_norm))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ai, an = ray.get(ref)
+        ids, mat = _embedding_matrix(batch)
+        sims = _normalize(mat) @ an.T  # (batch, n)
+        ri, ci = np.nonzero(sims >= tau)
+        a = ids[ri]
+        b = ai[ci]
+        keep = a < b  # each unordered pair once, no self-pairs
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    out = ds.map_batches(pairs, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_neardup_lsh(
+    sf_dir: str, tau: float = 0.4, n_tables: int = 16, planes_per_table: int = 4
+) -> pd.DataFrame:
+    """Random-hyperplane LSH near-dup (the scale path): ``n_tables`` hash
+    tables of ``planes_per_table`` sign bits each (deterministic seed); a pair
+    is scored iff it collides in at least one table. Collision probability per
+    table is (1-θ/π)^p — 16 tables × 4 planes gives ≈0.96 recall at cos 0.45.
+    Approximate by design; compared against the exact variant in tests."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rng = np.random.default_rng(42)
+    first = ds.take(1)
+    dim = len(first[0]["embedding"])
+    planes = rng.standard_normal((dim, n_tables * planes_per_table))
+    planes_ref = ray.put(planes)
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(planes_ref)
+        ids, mat = _embedding_matrix(batch)
+        signs = (mat @ pl) >= 0  # (n, tables*p)
+        out = []
+        for t in range(n_tables):
+            seg = signs[:, t * planes_per_table : (t + 1) * planes_per_table]
+            key = np.full(len(ids), t, dtype=np.uint64)
+            for j in range(seg.shape[1]):
+                key = (key << np.uint64(1)) | seg[:, j].astype(np.uint64)
+            out.append(
+                pd.DataFrame(
+                    {"bucket": key.view(np.int64), "vec_id": ids, "embedding": list(mat)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in group["embedding"]])
+        nm = _normalize(mat)
+        sims = nm @ nm.T
+        ri, ci = np.nonzero(np.triu(sims >= tau, k=1))
+        a, b = ids[ri], ids[ci]
+        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = out.drop_duplicates(subset=["id_a", "id_b"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

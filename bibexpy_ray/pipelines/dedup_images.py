@@ -136,11 +136,13 @@ def _exact_group_edges(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _default_concurrency() -> int:
-    """Actor-pool size: leave one CPU for the read/write stages so the pool
-    never starves the rest of the streaming pipeline."""
+def _default_concurrency() -> tuple[int, int]:
+    """Actor-pool sizing: autoscale from 1 up to cpus-1 actors. A fixed
+    minimum above 1 can deadlock the streaming executor when several stages
+    compete for CPUs on a small node; (1, cpus-1) keeps one CPU for the
+    read/write stages and lets Ray grow the pool under load."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(2, cpus - 1)
+    return (1, max(2, cpus - 1))
 
 
 def compute_features(ds: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
@@ -186,6 +188,12 @@ def dedup_images(
         return rdir.materialize(name, factory)
 
     features = checkpoint("features", lambda: compute_features(ds, cfg))
+    if rdir is None:
+        # Pin the feature table (ids + signatures, bytes excluded — bounded at
+        # ~1.1 KB/row) so the five downstream consumers don't re-run the
+        # signature actor pool per consumption; with a run_dir the parquet
+        # checkpoint already serves this purpose.
+        features = features.materialize()
 
     n_coarse = max(16, int(ray.cluster_resources().get("CPU", 4)) * 2)
 
@@ -244,16 +252,20 @@ def dedup_images(
 
     # ---- candidate generation ----------------------------------------------
     def candidates_stage():
-        bands = reps.map_batches(
-            lambda b: emit_caption_band_rows(b, cfg), batch_format="pyarrow"
-        )
-        phash_bands = reps.map_batches(
-            lambda b: emit_phash_band_rows(b, cfg), batch_format="pyarrow"
-        )
-        auth_rows = reps.map_batches(
-            lambda b: emit_authority_rows(b, cfg), batch_format="pyarrow"
-        )
-        bucket_rows = bands.union(phash_bands).union(auth_rows)
+        # all three bucket-row kinds emitted in ONE pass over the features —
+        # a union of three branches would re-execute the upstream per branch
+        # and demand three concurrent actor pools (scheduler deadlock on small
+        # nodes; 3x the read at scale)
+        def emit_all(b: pa.Table) -> pa.Table:
+            return pa.concat_tables(
+                [
+                    emit_caption_band_rows(b, cfg),
+                    emit_phash_band_rows(b, cfg),
+                    emit_authority_rows(b, cfg),
+                ]
+            )
+
+        bucket_rows = reps.map_batches(emit_all, batch_format="pyarrow")
         emitter = BucketPairEmitter(cfg.bucket_pair_cap)
 
         def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:

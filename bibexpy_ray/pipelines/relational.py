@@ -1,0 +1,407 @@
+"""Relational operators over the TPC-H-ish testdata tables.
+
+Ray-Data-native reimplementation of the reference's filter engine + statistics
+services (/root/reference/apps/api/services/filter_engine.py — numeric range
+:86-96, set membership :99-104, contains-any :107-116, boolean full-text
+:119-166, facets :214-247; /root/reference/apps/api/routers/quality.py:59-106
+quality stats, :221-289 charts/top-k; joins are the enrichment-lookup analog of
+/root/reference/packages/bibex_core/modules/api_utils.py:973-1172).
+
+Design rules applied throughout:
+- column pruning at the read (`columns=[...]`),
+- vectorized pyarrow.compute / numpy kernels inside ``map_batches`` (no Python
+  row loops),
+- pre-aggregation (combiner) inside ``map_batches`` before any groupby so the
+  shuffle moves #blocks × #keys rows, not the data,
+- broadcast hash joins for small dimension tables (``ray.put`` once, read per
+  actor) instead of an all-to-all shuffle join,
+- integer-cent sums for oracle-exact money arithmetic (see tables.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from bibexpy_ray.pipelines.tables import cents, read_table
+
+# ---------------------------------------------------------------------------
+# Filters (filter_engine.py analogs)
+# ---------------------------------------------------------------------------
+
+
+def filter_numeric_range(sf_dir: str) -> rd.Dataset:
+    """Numeric range + status predicate on orders (filter_engine.py:86-96).
+
+    Vectorized pyarrow compute; streams — no materialization.
+    """
+    ds = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    )
+
+    def pred(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice")
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(price, 1000.0), pc.less(price, 150000.0)),
+            pc.equal(batch.column("o_orderstatus"), "F"),
+        )
+        return batch.filter(mask).select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+def filter_set_membership(sf_dir: str) -> rd.Dataset:
+    """`.isin` facet on lineitem (filter_engine.py:99-104)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+    flags = pa.array(["A", "R"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_in(batch.column("l_returnflag"), value_set=flags),
+            pc.less(batch.column("l_quantity"), 10.0),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+def filter_contains_any(sf_dir: str) -> rd.Dataset:
+    """Contains-any over multi-valued text (filter_engine.py:107-116):
+    regex alternation of escaped needles, substring semantics."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "text"])
+    import re
+
+    pattern = "|".join(re.escape(n) for n in ["spark", "window"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring_regex(batch.column("text"), pattern)
+        return batch.filter(mask).select(["doc_id", "lang"])
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+def filter_boolean_fulltext(sf_dir: str) -> rd.Dataset:
+    """Boolean AND/OR/NOT full-text query (filter_engine.py:119-166):
+    (spark AND join) OR (merge AND agg), NOT batch — substring contains,
+    compiled once, vectorized per batch."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        has = lambda s: pc.match_substring(t, s)  # noqa: E731
+        clause1 = pc.and_(has("spark"), has("join"))
+        clause2 = pc.and_(has("merge"), has("agg"))
+        mask = pc.and_(pc.or_(clause1, clause2), pc.invert(has("batch")))
+        return batch.filter(mask).select(["doc_id"])
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+def filter_data_quality(sf_dir: str) -> rd.Dataset:
+    """missing:/has: data-quality facets (filter_engine.py:169-181): flag rows
+    whose `props` payload is blank OR suspicious (single-digit k), with
+    `event_type` present — the blank/low-quality-field check scaled up."""
+    ds = read_table(sf_dir, "events", ["event_id", "event_type", "props"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        props = pc.fill_null(batch.column("props"), "")
+        blank = pc.equal(pc.utf8_trim_whitespace(props), "")
+        suspicious = pc.match_substring_regex(props, '^\\{"k": [0-9]\\}$')
+        has_type = pc.invert(
+            pc.or_kleene(
+                pc.is_null(batch.column("event_type")),
+                pc.equal(batch.column("event_type"), ""),
+            )
+        )
+        mask = pc.and_(pc.or_(blank, suspicious), has_type)
+        return batch.filter(mask).select(["event_id", "event_type"])
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (combiner pattern — partial agg inside map_batches)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped pricing summary over lineitem.
+
+    The canonical pre-aggregate pattern: each batch reduces to ≤ #keys rows
+    (integer-cent sums — exact and order-free), the tiny partial stream is
+    merged on the driver. At 100 TB the shuffle carries #blocks × ~6 rows.
+    """
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": np.round(batch["l_quantity"].to_numpy() * 100).astype(np.int64),
+                "base": cents(batch["l_extendedprice"].to_numpy()),
+                "disc_pct": np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        g["disc_price"] = g["base"] * (100 - g["disc_pct"])
+        out = (
+            g.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty_x100=("qty", "sum"),
+                sum_base_cents=("base", "sum"),
+                sum_disc_cents_x100=("disc_price", "sum"),
+                count_order=("qty", "size"),
+            )
+        )
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    final = (
+        partials.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(
+            sum_qty_x100=("sum_qty_x100", "sum"),
+            sum_base_cents=("sum_base_cents", "sum"),
+            sum_disc_cents_x100=("sum_disc_cents_x100", "sum"),
+            count_order=("count_order", "sum"),
+        )
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    final["avg_qty"] = final["sum_qty_x100"] / 100.0 / final["count_order"]
+    return final
+
+
+def year_histogram(sf_dir: str) -> pd.DataFrame:
+    """Year histogram (filter_engine.py:214-218 facet analog) over orders."""
+    ds = read_table(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        years = pc.year(batch.column("o_orderdate"))
+        counted = pa.table({"o_year": years}).group_by("o_year").aggregate([("o_year", "count")])
+        return pa.table(
+            {
+                "o_year": counted.column("o_year").cast(pa.int64()),
+                "n": counted.column("o_year_count").cast(pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (
+        partials.groupby("o_year", as_index=False)["n"].sum().sort_values("o_year").reset_index(drop=True)
+    )
+
+
+def top_event_types(sf_dir: str) -> pd.DataFrame:
+    """Top-5 event types by count (quality.py:247-271 top-k analog):
+    partial count per batch → tiny merge → deterministic (n desc, name asc)."""
+    ds = read_table(sf_dir, "events", ["event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["event_type"].value_counts()
+        return pd.DataFrame({"event_type": vc.index, "n": vc.to_numpy(dtype=np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = partials.groupby("event_type", as_index=False)["n"].sum()
+    out = merged.sort_values(["n", "event_type"], ascending=[False, True]).head(5)
+    return out.reset_index(drop=True)
+
+
+def quality_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-field filled/missing counts (quality.py:59-106 / Statistic.xlsx
+    analog, smart_merger.py:497-538): one streaming pass, per-batch null+blank
+    counts, summed on the driver."""
+    cols = ["text", "lang", "source", "n_chars"]
+    ds = read_table(sf_dir, "documents", cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, filled, missing = [], [], []
+        n = batch.num_rows
+        for c in cols:
+            col = batch.column(c)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                blank = pc.or_kleene(
+                    pc.is_null(col), pc.equal(pc.utf8_trim_whitespace(pc.fill_null(col, "")), "")
+                )
+                miss = pc.sum(pc.cast(blank, pa.int64())).as_py() or 0
+            else:
+                miss = col.null_count
+            names.append(c)
+            missing.append(miss)
+            filled.append(n - miss)
+        return pa.table(
+            {
+                "column_name": pa.array(names),
+                "n_filled": pa.array(filled, type=pa.int64()),
+                "n_missing": pa.array(missing, type=pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (
+        partials.groupby("column_name", as_index=False)[["n_filled", "n_missing"]]
+        .sum()
+        .sort_values("column_name")
+        .reset_index(drop=True)
+    )
+
+
+def facets(sf_dir: str) -> pd.DataFrame:
+    """compute_facets analog (filter_engine.py:214-247): group counts +
+    min/max/avg over a numeric column, per (lang, source)."""
+    ds = read_table(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["lang", "source"], as_index=False).agg(
+            n=("n_chars", "size"),
+            sum_chars=("n_chars", "sum"),
+            min_chars=("n_chars", "min"),
+            max_chars=("n_chars", "max"),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    final = partials.groupby(["lang", "source"], as_index=False).agg(
+        n=("n", "sum"),
+        sum_chars=("sum_chars", "sum"),
+        min_chars=("min_chars", "min"),
+        max_chars=("max_chars", "max"),
+    )
+    final["avg_chars"] = final["sum_chars"].astype(np.float64) / final["n"]
+    return final.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def value_buckets(sf_dir: str) -> pd.DataFrame:
+    """Bucketed histogram (quality.py:280-289 citation-buckets analog):
+    floor(value/100) buckets with count + exact min/max."""
+    ds = read_table(sf_dir, "events", ["value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"].to_numpy(dtype=np.float64)
+        b = np.floor(v / 100.0).astype(np.int64)
+        df = pd.DataFrame({"bucket": b, "value": v})
+        return df.groupby("bucket", as_index=False).agg(
+            n=("value", "size"), min_value=("value", "min"), max_value=("value", "max")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        partials.groupby("bucket", as_index=False)
+        .agg(n=("n", "sum"), min_value=("min_value", "min"), max_value=("max_value", "max"))
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast joins (small-dim lookup — ray.put once, read in every task)
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer ⋈ nation revenue rollup.
+
+    customer/nation are the small sides: broadcast as a custkey→nation-name
+    dict via ``ray.put`` (one object-store copy per node), fact table streams
+    through a vectorized map + per-batch partial aggregate — no shuffle join.
+    """
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat_name = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
+    cust_nation = {
+        int(c): nat_name[int(n)] for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    lookup_ref = ray.put(cust_nation)
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        names = batch["o_custkey"].map(lookup)
+        df = pd.DataFrame(
+            {"n_name": names, "revenue_cents": cents(batch["o_totalprice"].to_numpy())}
+        )
+        return df.groupby("n_name", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_orders=("revenue_cents", "size")
+        )
+
+    partials = orders.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        partials.groupby("n_name", as_index=False)
+        .agg(revenue_cents=("revenue_cents", "sum"), n_orders=("n_orders", "sum"))
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+def brand_revenue(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ part broadcast join → discounted revenue per brand."""
+    part_df = read_table(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_of = dict(zip(part_df["p_partkey"].astype(np.int64), part_df["p_brand"]))
+    ref = ray.put(brand_of)
+
+    li = read_table(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        base = cents(batch["l_extendedprice"].to_numpy())
+        disc = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "p_brand": batch["l_partkey"].map(lookup),
+                "rev": base * (100 - disc),
+            }
+        )
+        return df.groupby("p_brand", as_index=False).agg(
+            revenue_cents_x100=("rev", "sum"), n_items=("rev", "size")
+        )
+
+    partials = li.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        partials.groupby("p_brand", as_index=False)
+        .agg(revenue_cents_x100=("revenue_cents_x100", "sum"), n_items=("n_items", "sum"))
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed / sessionized aggregate (custom operator the Dataset API lacks)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def sessionize(sf_dir: str) -> rd.Dataset:
+    """Per-user session counts with a 30-minute inactivity gap.
+
+    Composition (a) from the brief: hash-partition by user via groupby, then a
+    per-group vectorized sort+diff — the partitioning assumption is that one
+    user's events fit one group (holds at any realistic user cardinality;
+    skewed power-users are still single-machine-sized).
+    """
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(group["ts"].astype("datetime64[us]").astype(np.int64).to_numpy())
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > SESSION_GAP_US).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(group["user_id"].iloc[0])],
+                "n_events": [np.int64(len(ts))],
+                "n_sessions": [np.int64(n_sessions)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
