@@ -54,14 +54,22 @@ class DedupConfig:
 
     shingle_k: int = 5                 # char n-gram width
     num_perms: int = 128               # MinHash permutations
-    lsh_bands: int = 64                # b bands ...
-    lsh_rows: int = 2                  # ... of r rows each (b*r == num_perms)
+    lsh_bands: int = 32                # b bands ...
+    lsh_rows: int = 4                  # ... of r rows each (b*r == num_perms)
+    # r=4 keeps P(candidate) ≈ 1 for true near-dups (j ≥ 0.9 ⇒ ≥ 1-1e-6) while
+    # suppressing the word-overlap noise floor (j ≤ 0.1 ⇒ ≤ 1e-3) that made
+    # r=2 quadratic in corpus size. Low-jaccard-but-prefix-sharing pairs
+    # (borderline band, contained captions) are caught deterministically by the
+    # prefix block below — the reference's (year, surname[0]) exact-key
+    # blocking analog (smart_merger.py:185-198).
+    prefix_block_chars: int = 12       # exact-equality block on the first k norm chars
     min_shingles: int = 4              # rows with fewer shingles skip LSH (skew floor)
     phash_bands: int = 4               # 4 x 16-bit bands -> guaranteed candidate at Hamming<=3
     phash_hamming_tol: int = 8         # Stage-3 side-constraint (year-tolerance analog)
     sim_exact: float = SIM_EXACT_THRESHOLD
     sim_borderline_low: float = SIM_BORDERLINE_LOW
     contained_min_chars: int = 20      # Stage-4 containment floor
+    substring_pass: bool = True        # suffix-array containment candidates
     bucket_pair_cap: int = 2048        # max pairs emitted per LSH bucket before splitting
     seed: int = 42
     signer_batch_size: int = 4096

@@ -24,8 +24,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import numpy as np
 import pandas as pd
-import pyarrow as pa
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -38,6 +38,7 @@ from bibexpy_ray.stages.lsh import (
     emit_authority_rows,
     emit_caption_band_rows,
     emit_phash_band_rows,
+    emit_prefix_rows,
 )
 from bibexpy_ray.stages.signer import SignatureStage
 from bibexpy_ray.stages.survivor import select_survivors
@@ -260,6 +261,7 @@ def dedup_images(
             return pa.concat_tables(
                 [
                     emit_caption_band_rows(b, cfg),
+                    emit_prefix_rows(b, cfg),
                     emit_phash_band_rows(b, cfg),
                     emit_authority_rows(b, cfg),
                 ]
@@ -279,10 +281,26 @@ def dedup_images(
             .groupby("_part")
             .map_groups(emit_pairs, batch_format="pandas")
         )
+        if cfg.substring_pass:
+            # suffix-array containment pass (Stage-4 feeder for contained
+            # captions whose Jaccard/prefix signals are too weak — the
+            # partial-metadata-match analog, smart_merger.py:309-334)
+            from bibexpy_ray.stages.substring import containment_candidates
+
+            contained = containment_candidates(
+                reps.select_columns(["image_id", "_norm_caption"]), cfg, n_coarse
+            ).map_batches(
+                lambda df: df.assign(dropped=np.int64(0)), batch_format="pandas"
+            )
+            pairs = pairs.union(contained)
         # a pair appears in many buckets: dedupe on (id_a, id_b)
         return dedupe_pairs(pairs, n_coarse)
 
     edges_raw = checkpoint("edges_raw", candidates_stage)
+    if rdir is None:
+        # candidate edges feed both the verifier and the metrics count — pin
+        # them so the shuffle-heavy candidate stage executes exactly once
+        edges_raw = edges_raw.materialize()
 
     # ---- verification -------------------------------------------------------
     feat_cols = ["image_id", "_norm_caption", "phash", "_authority"]

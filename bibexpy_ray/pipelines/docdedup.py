@@ -198,15 +198,22 @@ def _dedupe_int_pairs(pairs: rd.Dataset, n_parts: int) -> rd.Dataset:
     )
 
 
+#: per-shingle-mode LSH shapes (num_perms, bands, rows), tuned to the noise
+#: floor: char-5-grams of natural text overlap heavily between unrelated docs
+#: (j≈0.2-0.3), so r=8 is needed to keep the candidate count linear; word
+#: 3-grams barely collide (j≈0.01), so r=2 maximizes boundary recall at τ=0.5.
+#: P(candidate) = 1-(1-j^r)^b: char5 ⇒ 99.7% at j=0.8, ~1e-4 at j=0.25;
+#: word3 ⇒ 98% at j=0.5, ~2e-3 at j=0.05.
+_LSH_SHAPES = {"char5": (256, 32, 8), "word3": (128, 64, 2)}
+
+
 def lsh_candidate_pairs(
     sf_dir: str,
     shingle_mode: str = "char5",
-    num_perms: int = 128,
-    bands: int = 64,
-    rows: int = 2,
-    min_shingles: int = 2,
+    min_shingles: int = 1,
 ) -> rd.Dataset:
     """(doc_id, text) → distinct candidate pairs via MinHash band LSH."""
+    num_perms, bands, rows = _LSH_SHAPES[shingle_mode]
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     n_parts = 32
 

@@ -85,11 +85,16 @@ def image_decode_stats(sf_dir: str) -> rd.Dataset:
     """Decode every image in the synthetic corpus; per-image exact features."""
     path = corpus_path_for(sf_dir)
     ds = rd.read_parquet(path, columns=["image_id", "bytes", "phash"])
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
     return ds.map_batches(
         DecodeStatsStage,
         batch_format="pyarrow",
         batch_size=256,  # binary payloads: keep batch bytes bounded
-        concurrency=4,
+        # autoscaling pool: a fixed minimum equal to the CPU count starves the
+        # upstream read and deadlocks the streaming executor
+        concurrency=(1, max(2, cpus - 1)),
     )
 
 

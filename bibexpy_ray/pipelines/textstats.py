@@ -120,7 +120,7 @@ class LangIdStage:
 
 def lang_id(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=2)
+    return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=(1, 2))
 
 
 def fingerprint(sf_dir: str, k: int = 8, window: int = 16) -> rd.Dataset:

@@ -81,6 +81,42 @@ def emit_phash_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     )
 
 
+def emit_prefix_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """(signed batch) -> (bucket_key, image_id) for the normalized-caption
+    prefix block: exact-equality bucket on the first ``prefix_block_chars``
+    chars. This is the reference's deterministic blocking key analog
+    ((year, surname-initial), smart_merger.py:185-198): borderline-band and
+    contained-caption pairs share a long prefix even when their shingle
+    Jaccard is too low for banded MinHash, so this block feeds them to the
+    verifier deterministically. Captions shorter than the prefix are excluded
+    (the empty-key catch-all-block guard)."""
+    import pyarrow.compute as pc
+
+    k = cfg.prefix_block_chars
+    norm = batch.column("_norm_caption")
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    long_enough = pc.greater_equal(pc.utf8_length(norm), k)
+    sub = batch.filter(long_enough)
+    if sub.num_rows == 0:
+        return pa.table(
+            {
+                "bucket_key": pa.array([], type=pa.uint64()),
+                "image_id": pa.array([], type=pa.string()),
+                "phash": pa.array([], type=pa.int64()),
+            }
+        )
+    prefixes = pc.utf8_slice_codeunits(sub.column("_norm_caption"), 0, k)
+    keys = hashing.text_hash_u64(prefixes, seed=23)
+    return pa.table(
+        {
+            "bucket_key": pa.array(keys, type=pa.uint64()),
+            "image_id": sub.column("image_id").cast(pa.string()),
+            "phash": sub.column("phash").cast(pa.int64()),
+        }
+    )
+
+
 def emit_authority_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     """(signed batch) -> (bucket_key, image_id) for rows carrying an authority id.
 

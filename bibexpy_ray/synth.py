@@ -328,11 +328,19 @@ def write_corpus_parquet(path: str, n: int, seed: int = 42, use_ray: bool = True
     """
     if os.path.exists(path) and (os.path.isfile(path) or os.listdir(path)):
         return path
-    if use_ray and n >= 50_000:
+    if use_ray and n >= 10_000:
+        import ray
         import ray.data as rd
 
-        ds = rd.range(n).map_batches(
-            CorpusGen(seed), batch_format="numpy", batch_size=2048, concurrency=None
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        # class + constructor kwargs: each actor builds its own vocab/caches
+        # (the instance-level lru_cache wrappers are unpicklable by design)
+        ds = rd.range(n).repartition(max(cpus * 2, 8)).map_batches(
+            CorpusGen,
+            fn_constructor_kwargs={"seed": seed},
+            batch_format="numpy",
+            batch_size=2048,
+            concurrency=(1, max(2, cpus - 1)),
         )
         ds.write_parquet(path)
     else:
