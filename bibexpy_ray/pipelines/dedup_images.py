@@ -363,11 +363,19 @@ def dedup_images(
     all_edges = list(zip(auto["id_a"], auto["id_b"]))
     if len(exact_pd):
         all_edges += list(zip(exact_pd["id_a"], exact_pd["id_b"]))
-    if len(all_edges) > DRIVER_EDGE_LIMIT:
-        raise NotImplementedError(
-            "edge set exceeds driver capacity; use stages.unionfind.clusters_distributed"
+    if len(all_edges) > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
+        # distributed min-label propagation over the edge Dataset; verified
+        # equivalent to the driver union-find in tests/test_unionfind.py
+        from bibexpy_ray.stages.unionfind import clusters_distributed
+
+        edges_ds = rd.from_pandas(
+            pd.DataFrame({"id_a": [a for a, _ in all_edges],
+                          "id_b": [b for _, b in all_edges]})
         )
-    cluster_map = clusters_driver(all_edges)
+        labels = clusters_distributed(edges_ds).to_pandas()
+        cluster_map = dict(zip(labels["image_id"], labels["cluster_id"]))
+    else:
+        cluster_map = clusters_driver(all_edges)
     metrics["clusters"] = len(set(cluster_map.values()))
 
     # ---- survivor selection -------------------------------------------------

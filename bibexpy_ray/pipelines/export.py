@@ -1,0 +1,74 @@
+"""Run outputs: the reference's analysis-folder pattern at scale.
+
+The reference writes each merge run into a self-contained directory
+(merged.xlsx + match_audit/conflict/borderline/statistics side-files +
+meta.json, /root/reference/apps/api/services/analyses.py:26-101,
+smart_merger.py:760-791). Our analog is a run directory of partitioned
+Parquet side-outputs plus a JSON manifest — resumable (one directory per
+output, atomic rename) and queryable without the engine:
+
+    out_dir/
+      manifest.json          config, row counts, metrics
+      canonical/             survivor rows (cluster losers dropped), partitioned parquet
+      clusters/              cluster_id, survivor_id, cluster_size, members
+      match_audit/           verified edges with stage/confidence/similarity
+      borderline_queue/      uncertain pairs awaiting decisions
+      exports/clusters.tsv   flat TSV export (VOSviewer-style sink analog)
+
+Binary image bytes appear only in `canonical/` and stream straight from the
+input dataset — they never pass through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from bibexpy_ray.pipelines.dedup_images import DedupResult
+
+
+def _write_pd(df: pd.DataFrame, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(path, "part-0.parquet"))
+
+
+def save_run(result: DedupResult, ds: rd.Dataset, out_dir: str) -> dict:
+    """Persist a DedupResult + canonical dataset into a run directory."""
+    os.makedirs(out_dir, exist_ok=True)
+    canonical = result.canonical(ds)
+    canon_dir = os.path.join(out_dir, "canonical")
+    canonical.write_parquet(canon_dir)
+
+    _write_pd(result.clusters, os.path.join(out_dir, "clusters"))
+    _write_pd(result.audit, os.path.join(out_dir, "match_audit"))
+    _write_pd(result.borderline, os.path.join(out_dir, "borderline_queue"))
+
+    exports = os.path.join(out_dir, "exports")
+    os.makedirs(exports, exist_ok=True)
+    result.clusters.to_csv(os.path.join(exports, "clusters.tsv"), sep="\t", index=False)
+
+    n_canonical = rd.read_parquet(canon_dir).count()
+    manifest = {
+        "metrics": result.metrics,
+        "rows_canonical": n_canonical,
+        "n_clusters": int(len(result.clusters)),
+        "n_borderline": int(len(result.borderline)),
+        "outputs": ["canonical", "clusters", "match_audit", "borderline_queue",
+                    "exports/clusters.tsv"],
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def load_manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        return json.load(f)

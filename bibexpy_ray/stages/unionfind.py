@@ -58,21 +58,36 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
     the near-star components dedup produces.
     """
     import pandas as pd
-    import ray.data as rd
 
-    # labels: start as identity over all endpoint ids
-    ids = edges_ds.select_columns(["id_a"]).rename_columns({"id_a": "image_id"}).union(
-        edges_ds.select_columns(["id_b"]).rename_columns({"id_b": "image_id"})
-    ).unique("image_id")
-    labels = ids.map_batches(
-        lambda df: df.assign(cluster_id=df["image_id"]), batch_format="pandas"
-    )
-    edges = edges_ds.select_columns(["id_a", "id_b"]).materialize()
+    def _rename(ds, mapping):
+        # rename via a pandas map_batches — robust across block formats
+        return ds.map_batches(
+            lambda df, m=mapping: df.rename(columns=m), batch_format="pandas"
+        )
+
+    def _dedupe_min(ds, key, val):
+        # per-key minimum via groupby aggregate, normalized column name
+        out = ds.groupby(key).min(val)
+        return _rename(out, {f"min({val})": val})
+
+    edges = edges_ds.map_batches(
+        lambda df: pd.DataFrame({"id_a": df["id_a"], "id_b": df["id_b"]}),
+        batch_format="pandas",
+    ).materialize()
     n_parts = max(2, edges.num_blocks())
 
+    # labels start as identity over every endpoint id
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        ids = pd.unique(pd.concat([df["id_a"], df["id_b"]], ignore_index=True))
+        return pd.DataFrame({"image_id": ids, "cluster_id": ids})
+
+    labels = _dedupe_min(
+        edges.map_batches(init_labels, batch_format="pandas"), "image_id", "cluster_id"
+    ).materialize()
+
     for _ in range(max_rounds):
-        lab_a = labels.rename_columns({"image_id": "id_a", "cluster_id": "lab_a"})
-        lab_b = labels.rename_columns({"image_id": "id_b", "cluster_id": "lab_b"})
+        lab_a = _rename(labels, {"image_id": "id_a", "cluster_id": "lab_a"})
+        lab_b = _rename(labels, {"image_id": "id_b", "cluster_id": "lab_b"})
         j = edges.join(lab_a, "inner", n_parts, on=("id_a",)).join(
             lab_b, "inner", n_parts, on=("id_b",)
         )
@@ -87,12 +102,23 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
             )
 
         prop = j.map_batches(emit_min, batch_format="pandas").union(labels)
-        new_labels = prop.groupby("image_id").min("cluster_id")
-        new_labels = new_labels.rename_columns({"min(cluster_id)": "cluster_id"}).materialize()
-        # convergence check: any label changed?
-        merged = labels.rename_columns({"cluster_id": "old"}).join(
-            new_labels, "inner", n_parts, on=("image_id",)
+        new_labels = _dedupe_min(prop, "image_id", "cluster_id").materialize()
+        # pointer jumping: follow the label's own label (grandparent shortcut)
+        # so chain components converge in O(log diameter) rounds, not O(n).
+        # Every cluster_id is itself a labeled node, so the inner join is total.
+        jump_src = _rename(new_labels, {"image_id": "jump_key", "cluster_id": "jump_lab"})
+        jumped = _rename(new_labels, {"cluster_id": "jump_key"}).join(
+            jump_src, "inner", n_parts, on=("jump_key",)
         )
+        new_labels = jumped.map_batches(
+            lambda df: pd.DataFrame(
+                {"image_id": df["image_id"], "cluster_id": df["jump_lab"]}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        # convergence: any label changed this round?
+        old = _rename(labels, {"cluster_id": "old"})
+        merged = old.join(new_labels, "inner", n_parts, on=("image_id",))
         changed = merged.map_batches(
             lambda df: pd.DataFrame({"c": [int((df["old"] != df["cluster_id"]).sum())]}),
             batch_format="pandas",
