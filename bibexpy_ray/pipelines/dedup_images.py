@@ -147,14 +147,29 @@ def _default_concurrency() -> tuple[int, int]:
 
 
 def compute_features(ds: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
-    """Signature stage over the metadata columns (actor pool, zero-copy Arrow)."""
+    """Signature stage over the metadata columns (zero-copy Arrow batches).
+
+    Task pool + per-process state memo (stages/signer.py sign_batch): the
+    stage state is trivial to derive, so skipping actor-pool startup wins;
+    ``cfg.signer_concurrency`` forces an explicit actor pool when set.
+    """
+    from bibexpy_ray.stages.signer import sign_batch
+
     cols = [c for c in FEATURE_INPUT_COLS if c in ds.schema().names]
-    return ds.select_columns(cols).map_batches(
-        SignatureStage,
-        fn_constructor_kwargs={"cfg": cfg},
+    ds = ds.select_columns(cols)
+    if cfg.signer_concurrency:
+        return ds.map_batches(
+            SignatureStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.signer_batch_size,
+            concurrency=cfg.signer_concurrency,
+        )
+    return ds.map_batches(
+        sign_batch,
+        fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.signer_batch_size,
-        concurrency=cfg.signer_concurrency or _default_concurrency(),
     )
 
 
@@ -388,11 +403,25 @@ def dedup_images(
             sub["cluster_id"] = [cm[i] for i in sub["image_id"]]
             return sub[["cluster_id", "image_id", "fmt", "caption"]]
 
+        from bibexpy_ray.functions.hashing import text_hash_u64
+        from bibexpy_ray.stages.survivor import survivors_partition
+
+        def add_cluster_part(df: pd.DataFrame) -> pd.DataFrame:
+            h = text_hash_u64(df["cluster_id"].tolist())
+            df["_part"] = (h % np.uint64(n_coarse)).astype(np.int32)
+            return df
+
+        # coarse hash partition on cluster_id: whole clusters colocate, the
+        # per-partition reduce is vectorized over many clusters at once
         clusters = (
             features.select_columns(["image_id", "fmt", "caption"])
             .map_batches(members_of, batch_format="pandas")
-            .groupby("cluster_id")
-            .map_groups(select_survivors, batch_format="pandas")
+            .map_batches(add_cluster_part, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(
+                lambda df: survivors_partition(df.drop(columns=["_part"])),
+                batch_format="pandas",
+            )
             .to_pandas()
         )
     else:

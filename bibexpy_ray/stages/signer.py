@@ -21,13 +21,14 @@ from bibexpy_ray.functions.normalize import normalize_text_batch
 
 
 class SignatureStage:
-    """map_batches callable class: IMAGE_SCHEMA columns in -> + signature columns.
+    """map_batches callable: IMAGE_SCHEMA columns in -> + signature columns.
 
-    Usage::
-
-        ds.map_batches(SignatureStage, fn_constructor_kwargs={"cfg": cfg},
-                       batch_format="pyarrow", batch_size=cfg.signer_batch_size,
-                       concurrency=cfg.signer_concurrency)
+    Works both as an actor-pool class (``map_batches(SignatureStage, ...)``)
+    and, preferred, through :func:`sign_batch` as a plain task-pool function —
+    the stage's only state (permutation seeds) is microseconds to derive, so a
+    per-worker-process memo (module-level cache) gives actor-style state reuse
+    without actor-pool startup latency. Heavy-state stages (decoders, models)
+    should stay actor pools; this one is the documented exception.
     """
 
     def __init__(self, cfg: DedupConfig | None = None):
@@ -65,3 +66,15 @@ class SignatureStage:
             .append_column("_minhash", mh_list)
             .append_column("_authority", authority.combine_chunks() if isinstance(authority, pa.ChunkedArray) else authority)
         )
+
+
+#: per-worker-process stage memo keyed by config (task-pool state reuse)
+_STAGE_CACHE: dict[DedupConfig, SignatureStage] = {}
+
+
+def sign_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """Task-pool form of the signature stage (state memoized per process)."""
+    stage = _STAGE_CACHE.get(cfg)
+    if stage is None:
+        stage = _STAGE_CACHE[cfg] = SignatureStage(cfg)
+    return stage(batch)

@@ -105,7 +105,18 @@ def containment_pairs_partition(part: pd.DataFrame, cfg: DedupConfig) -> pd.Data
     )
     if len(part) < 2:
         return empty
-    part = part.drop_duplicates(subset=["image_id"]).reset_index(drop=True)
+    # one representative per distinct caption: equal-length texts can never be
+    # in strict containment, and duplicated captions (e.g. a hot templated
+    # caption) would otherwise make every pattern's occurrence list quadratic.
+    # Rows sharing a caption AND content merge in the exact pre-pass instead.
+    part = (
+        part.drop_duplicates(subset=["image_id"])
+        .sort_values("image_id")
+        .drop_duplicates(subset=["_norm_caption"])
+        .reset_index(drop=True)
+    )
+    if len(part) < 2:
+        return empty
     texts = part["_norm_caption"].fillna("").tolist()
     ids = part["image_id"].to_numpy(dtype=object)
     lens = np.array([len(t) for t in texts])

@@ -52,3 +52,44 @@ def select_survivors(members: pd.DataFrame) -> pd.DataFrame:
             "members": ["|".join(member_ids)],
         }
     )
+
+
+def survivors_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized survivor selection over a whole hash partition of cluster
+    members (many clusters per call — avoids Ray's and pandas' per-group
+    overhead when clusters number in the millions).
+
+    Equivalent to ``select_survivors`` per cluster: sort members by the
+    survivor rank within cluster, take the first per cluster.
+    """
+    if len(part) == 0:
+        return pd.DataFrame(
+            {
+                "cluster_id": pd.Series([], dtype=object),
+                "survivor_id": pd.Series([], dtype=object),
+                "cluster_size": pd.Series([], dtype=np.int64),
+                "members": pd.Series([], dtype=object),
+            }
+        )
+    non_empty = (
+        part["caption"].fillna("").astype(str).str.len().gt(0).astype(int)
+        + part["image_id"].astype(str).str.len().gt(0).astype(int)
+    )
+    fmt_rank = part["fmt"].map(_FMT_PRIORITY).fillna(2).astype(int)
+    ranked = part.assign(_ne=-non_empty, _fr=fmt_rank).sort_values(
+        ["cluster_id", "_ne", "_fr", "image_id"], kind="mergesort"
+    )
+    winners = ranked.drop_duplicates(subset=["cluster_id"], keep="first")
+    by_id = part.sort_values(["cluster_id", "image_id"], kind="mergesort")
+    agg = by_id.groupby("cluster_id", sort=True)["image_id"].agg(
+        cluster_size="size", members="|".join
+    )
+    out = winners.set_index("cluster_id").join(agg)
+    return pd.DataFrame(
+        {
+            "cluster_id": out.index.to_numpy(dtype=object),
+            "survivor_id": out["image_id"].to_numpy(dtype=object),
+            "cluster_size": out["cluster_size"].to_numpy(dtype=np.int64),
+            "members": out["members"].to_numpy(dtype=object),
+        }
+    )
