@@ -321,7 +321,9 @@ def dedup_images(
     feat_cols = ["image_id", "_norm_caption", "phash", "_authority"]
 
     def verify_stage():
-        n_reps = reps.count()
+        # rep count derived arithmetically — a reps.count() here would execute
+        # the filter chain once just to pick a code path
+        n_reps = features.count() - len(exact_losers)
         edge_cols = edges_raw.select_columns(["id_a", "id_b"])
         if n_reps <= BROADCAST_LIMIT:
             feat_pd = reps.select_columns(feat_cols).to_pandas().set_index("image_id")
