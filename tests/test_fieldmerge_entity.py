@@ -1,0 +1,101 @@
+"""Field-merge policies + entity clustering (reference decision-table parity)."""
+
+import pandas as pd
+import pytest
+
+from bibexpy_ray.functions.fieldmerge import (
+    first_non_blank,
+    longer_wins,
+    merge_record,
+    priority_source,
+    union_values,
+)
+from bibexpy_ray.pipelines.entity import (
+    block_key,
+    cluster_block,
+    greedy_cluster,
+    min_pairwise_jw,
+)
+
+
+# ---- field mergers (MergeDB.py semantics) ---------------------------------
+
+def test_union_values_dedup_case_insensitive_order_preserving():
+    assert union_values(["Alpha; beta", "BETA | gamma", None]) == "Alpha; beta; gamma"
+
+
+def test_union_values_empty():
+    assert union_values([None, "", "nan "]) == "nan"  # literal 'nan ' strips to token
+    assert union_values([None, ""]) == ""
+
+
+def test_longer_wins():
+    assert longer_wins(["short", "the longest value here", ""]) == "the longest value here"
+    assert longer_wins(["aa", "bb"]) == "aa"  # stable tie
+
+
+def test_first_non_blank():
+    assert first_non_blank([None, "", "nan", "x", "y"]) == "x"
+
+
+def test_priority_source_prefers_order_and_flags_conflict():
+    val, conflict = priority_source(["b-val", "a-val"], ["src_b", "src_a"], ["src_a", "src_b"])
+    assert val == "a-val" and conflict
+    val, conflict = priority_source(["same", "SAME"], ["s1", "s2"], ["s1", "s2"])
+    assert val == "same" and not conflict
+
+
+def test_merge_record_policies_and_conflicts():
+    rows = [
+        {"caption": "short cap", "fmt": "png", "image_id": "b", "tags": "x; y"},
+        {"caption": "a much longer caption", "fmt": "", "image_id": "a", "tags": "Y; z"},
+    ]
+    merged, conflicts = merge_record(rows, policies={"tags": "union"})
+    assert merged["caption"] == "a much longer caption"
+    assert merged["fmt"] == "png"
+    assert merged["image_id"] == "b"  # first_non_blank default keeps first
+    assert merged["tags"] == "x; y; z"
+    conflict_fields = {c["field"] for c in conflicts}
+    assert "image_id" in conflict_fields  # differing non-blank values logged
+
+
+# ---- entity clustering (blocking.py semantics) ----------------------------
+
+def test_greedy_cluster_transitive():
+    # a~b and b~c but a!~c still end up together (single-link transitivity)
+    ms = ["johnson r", "johnson ro", "johnson rob", "smith k"]
+    clusters = greedy_cluster(ms)
+    sets = [set(c) for c in clusters]
+    assert {0, 1, 2} in sets and {3} in sets
+
+
+def test_min_pairwise_jw_bounds():
+    assert min_pairwise_jw(["abc"]) == 1.0
+    assert 0 <= min_pairwise_jw(["abc", "xyz"]) < 0.6
+
+
+def test_block_key():
+    assert block_key("johnson robert") == "johnson_r"
+    assert block_key("cher") == "cher_"
+    assert block_key("") == ""
+
+
+def test_cluster_block_tiers():
+    block = pd.DataFrame(
+        {
+            "mention_id": range(5),
+            "mention": ["x"] * 5,
+            "_norm": [
+                "customer 0001", "customer 00011",  # near-identical -> tier 1
+                "customer 0901",                     # JW in [0.75, 0.95) of the above
+                "zzz distinct", "qqq other",
+            ],
+        }
+    )
+    out = cluster_block(block)
+    assert len(out) >= 1
+    big = out.loc[out["n_mentions"].idxmax()]
+    assert "customer 0001" in big["variants"]
+    assert big["tier"] in (1, 2)
+    # singletons (zzz/qqq) never become proposals
+    assert not any("zzz" in v for v in out["variants"])

@@ -60,6 +60,7 @@ ORACLE_QUERIES = [
     "brand_revenue", "sessionize", "token_stats", "quality_score",
     "exact_dedup", "neardup_pairs_char5", "neardup_pairs_word3",
     "ann_topk", "embedding_neardup",
+    "top_orders", "union_filtered", "coalesce_fill",
 ]
 
 
