@@ -72,6 +72,76 @@ class DedupResult:
 
         return ds.map_batches(attach, batch_format="pandas")
 
+    def merged_records(
+        self,
+        ds: rd.Dataset,
+        policies: dict[str, str] | None = None,
+    ) -> tuple[pd.DataFrame, pd.DataFrame]:
+        """Phase-4 field merge: fold each duplicate cluster's metadata rows into
+        one merged record using per-field policies (functions/fieldmerge.py —
+        the reference's merge_pair_with_preferences scaled to n-ary clusters,
+        smart_merger.py:388-458). Returns (merged_records, conflict_log).
+
+        Metadata only — the ``bytes`` column never enters this reduce; callers
+        re-attach payloads by survivor id from the canonical dataset.
+        """
+        from bibexpy_ray.functions.fieldmerge import merge_record
+
+        cmap = self.cluster_map
+        if not cmap:
+            return pd.DataFrame(), pd.DataFrame()
+        ref = ray.put(cmap)
+        meta_cols = [c for c in ds.schema().names if c != "bytes"]
+
+        def members_of(batch: pd.DataFrame) -> pd.DataFrame:
+            cm = ray.get(ref)
+            sub = batch[batch["image_id"].isin(cm.keys())].copy()
+            sub["cluster_id"] = [cm[i] for i in sub["image_id"]]
+            return sub
+
+        def merge_part(part: pd.DataFrame) -> pd.DataFrame:
+            out_rows, conflict_rows = [], []
+            for cid, g in part.groupby("cluster_id"):
+                rows = g.drop(columns=["cluster_id"]).sort_values("image_id")
+                merged, conflicts = merge_record(rows.to_dict("records"), policies)
+                merged["cluster_id"] = cid
+                out_rows.append(merged)
+                for c in conflicts:
+                    conflict_rows.append({**c, "cluster_id": cid})
+            res = pd.DataFrame(out_rows)
+            res.attrs["conflicts"] = conflict_rows
+            res["_conflicts"] = [
+                "" for _ in range(len(res))
+            ]  # placeholder keeps schema stable
+            import json as _json
+
+            if len(res):
+                res.loc[res.index[0], "_conflicts"] = _json.dumps(conflict_rows)
+            return res
+
+        merged_pd = (
+            ds.select_columns(meta_cols)
+            .map_batches(members_of, batch_format="pandas")
+            .groupby("cluster_id")
+            .map_groups(
+                lambda g: merge_part(g), batch_format="pandas"
+            )
+            .to_pandas()
+        )
+        import json as _json
+
+        conflicts = [
+            row
+            for blob in merged_pd["_conflicts"]
+            if blob
+            for row in _json.loads(blob)
+        ]
+        merged_pd = merged_pd.drop(columns=["_conflicts"])
+        return (
+            merged_pd.sort_values("cluster_id").reset_index(drop=True),
+            pd.DataFrame(conflicts),
+        )
+
     def canonical(self, ds: rd.Dataset) -> rd.Dataset:
         """Survivor rows only (losers filtered out), with cluster_id attached.
 

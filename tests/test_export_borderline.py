@@ -97,3 +97,20 @@ def test_decisions_roundtrip(tmp_path):
     save_decisions(d, p)
     assert load_decisions(p) == d
     assert load_decisions(str(tmp_path / "missing.json")) == {}
+
+
+def test_merged_records(result, corpus_table):
+    ds = rd.from_arrow(corpus_table)
+    merged, conflicts = result.merged_records(ds, policies={"caption": "longer_wins"})
+    assert len(merged) == len(result.clusters)
+    assert set(merged["cluster_id"]) == set(result.clusters["cluster_id"])
+    # contained-caption cluster: merged caption is the longest member's
+    rows = {r["image_id"]: r for r in corpus_table.to_pylist()}
+    for _, m in merged.iterrows():
+        members = result.clusters.set_index("cluster_id").loc[
+            m["cluster_id"], "members"
+        ].split("|")
+        longest = max((rows[i]["caption"] for i in members), key=len)
+        assert len(m["caption"]) >= len(longest) or m["caption"] == longest
+    # differing captions inside a cluster must produce conflict-log rows
+    assert len(conflicts) > 0 and {"field", "chosen", "cluster_id"} <= set(conflicts.columns)
