@@ -41,10 +41,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         mlscore,
         multimodal,
         relational,
+        temporal,
         textstats,
     )
 
     return {
+        # temporal custom operators (as-of join, tumbling window)
+        "asof_join": temporal.asof_join_events_orders,
+        "daily_event_counts": temporal.daily_event_counts,
         # sorts / set ops / fill
         "top_orders": relational.top_orders,
         "union_filtered": relational.union_filtered,
@@ -107,6 +111,19 @@ def oracle_sql() -> dict[str, str]:
     qty = _CENTS.format(col="l_quantity")
     tp = _CENTS.format(col="o_totalprice")
     return {
+        "asof_join": (
+            "WITH j AS (SELECT e.event_id, o.o_orderkey, "
+            "row_number() OVER (PARTITION BY e.event_id "
+            "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+            "FROM events e JOIN orders o "
+            "ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) "
+            "SELECT event_id, o_orderkey FROM j WHERE rn = 1"
+        ),
+        "daily_event_counts": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n, "
+            "MIN(value) AS min_value, MAX(value) AS max_value "
+            "FROM events GROUP BY 1, 2"
+        ),
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"

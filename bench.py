@@ -103,9 +103,10 @@ def _scaling_child(num_cpus: int, corpus: str) -> dict:
     import ray.data as rd
 
     from bibexpy_ray.config import DedupConfig
-    from bibexpy_ray.pipelines.dedup_images import dedup_images
+    from bibexpy_ray.pipelines.dedup_images import FEATURE_INPUT_COLS, dedup_images
 
-    ds = rd.read_parquet(corpus)
+    # prune at the read: the dedup path never reads image bytes
+    ds = rd.read_parquet(corpus, columns=FEATURE_INPUT_COLS)
     n = ds.count()
     t0 = time.time()
     result = dedup_images(ds, DedupConfig())

@@ -1,0 +1,83 @@
+"""CLI entry point — the `ray job submit` surface of the engine.
+
+    ray job submit -- python -m bibexpy_ray.cli dedup \
+        --input /data/corpus_parquet --out /data/run1 [--no-bytes]
+
+Owns its Ray session (guarded init — the library itself never calls
+ray.init). Writes the full run folder (canonical + clusters + match_audit +
+borderline_queue + manifest) and prints one JSON metrics line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+
+
+def cmd_dedup(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray
+    import ray.data as rd
+
+    from bibexpy_ray.config import DedupConfig
+    from bibexpy_ray.pipelines.dedup_images import FEATURE_INPUT_COLS, dedup_images
+    from bibexpy_ray.pipelines.export import save_run
+
+    cfg = DedupConfig()
+    # prune at the read: the dedup path never touches image bytes
+    feat_ds = rd.read_parquet(args.input, columns=FEATURE_INPUT_COLS)
+    result = dedup_images(feat_ds, cfg, run_dir=args.checkpoints)
+    full_ds = rd.read_parquet(args.input)  # canonical output carries payloads
+    manifest = save_run(result, full_ds, args.out)
+    print(json.dumps({"metrics": result.metrics, **manifest}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray
+
+    from bibexpy_ray.synth import write_corpus_parquet
+
+    path = write_corpus_parquet(args.out, args.rows, seed=args.seed)
+    print(json.dumps({"path": path, "rows": args.rows}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bibexpy_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedup", help="run the near-dup pipeline over a corpus")
+    d.add_argument("--input", required=True, help="parquet dir/file of IMAGE_SCHEMA rows")
+    d.add_argument("--out", required=True, help="run output directory")
+    d.add_argument("--checkpoints", default=None, help="stage-checkpoint dir (resume)")
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser("synth", help="generate the deterministic synthetic corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--rows", type=int, required=True)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

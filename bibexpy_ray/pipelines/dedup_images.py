@@ -48,7 +48,11 @@ from bibexpy_ray.state.checkpoint import RunDir
 
 #: columns the signature/feature path needs — bytes is deliberately absent
 FEATURE_INPUT_COLS = ["image_id", "caption", "phash", "fmt"]
-BROADCAST_LIMIT = 400_000
+#: verify-side feature table broadcasts below this row count (~100 B/row →
+#: ≤ ~200 MB in the object store, one copy per node); above it the verifier
+#: hash-joins features to edges (tests/test_verify_join_path.py proves the
+#: two paths equivalent)
+BROADCAST_LIMIT = 2_000_000
 
 
 @dataclass
@@ -353,7 +357,7 @@ def dedup_images(
             )
 
         bucket_rows = reps.map_batches(emit_all, batch_format="pyarrow")
-        emitter = BucketPairEmitter(cfg.bucket_pair_cap)
+        emitter = BucketPairEmitter(cfg.bucket_pair_cap, phash_tol=cfg.phash_hamming_tol)
 
         def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
             return emitter(df)
@@ -372,11 +376,23 @@ def dedup_images(
             # partial-metadata-match analog, smart_merger.py:309-334)
             from bibexpy_ray.stages.substring import containment_candidates
 
+            from bibexpy_ray.functions.hashing import text_hash_u64
+
+            def to_uid_pairs(df: pd.DataFrame) -> pd.DataFrame:
+                # containment works on id strings; the pair stream is numeric
+                a = text_hash_u64(df["id_a"].tolist())
+                b = text_hash_u64(df["id_b"].tolist())
+                return pd.DataFrame(
+                    {
+                        "id_a": np.minimum(a, b),
+                        "id_b": np.maximum(a, b),
+                        "dropped": np.zeros(len(df), dtype=np.int64),
+                    }
+                )
+
             contained = containment_candidates(
                 reps.select_columns(["image_id", "_norm_caption"]), cfg, n_coarse
-            ).map_batches(
-                lambda df: df.assign(dropped=np.int64(0)), batch_format="pandas"
-            )
+            ).map_batches(to_uid_pairs, batch_format="pandas")
             pairs = pairs.union(contained)
         # a pair appears in many buckets: dedupe on (id_a, id_b)
         return dedupe_pairs(pairs, n_coarse)
@@ -388,7 +404,9 @@ def dedup_images(
         edges_raw = edges_raw.materialize()
 
     # ---- verification -------------------------------------------------------
-    feat_cols = ["image_id", "_norm_caption", "phash", "_authority"]
+    # edges carry numeric uids; verification joins features back BY UID and
+    # emits string image_ids (the external audit/cluster surface)
+    feat_cols = ["_uid", "image_id", "_norm_caption", "phash", "_authority"]
 
     def verify_stage():
         # rep count derived arithmetically — a reps.count() here would execute
@@ -396,17 +414,17 @@ def dedup_images(
         n_reps = features.count() - len(exact_losers)
         edge_cols = edges_raw.select_columns(["id_a", "id_b"])
         if n_reps <= BROADCAST_LIMIT:
-            feat_pd = reps.select_columns(feat_cols).to_pandas().set_index("image_id")
+            feat_pd = reps.select_columns(feat_cols).to_pandas().set_index("_uid")
             feat_ref = ray.put(feat_pd)
 
             def join_verify(batch: pd.DataFrame) -> pd.DataFrame:
                 feats = ray.get(feat_ref)
-                fa = feats.reindex(batch["id_a"])
-                fb = feats.reindex(batch["id_b"])
+                fa = feats.reindex(batch["id_a"].to_numpy(dtype=np.uint64))
+                fb = feats.reindex(batch["id_b"].to_numpy(dtype=np.uint64))
                 joined = pd.DataFrame(
                     {
-                        "id_a": batch["id_a"].to_numpy(),
-                        "id_b": batch["id_b"].to_numpy(),
+                        "id_a": fa["image_id"].to_numpy(),
+                        "id_b": fb["image_id"].to_numpy(),
                         "_norm_caption_a": fa["_norm_caption"].to_numpy(),
                         "_norm_caption_b": fb["_norm_caption"].to_numpy(),
                         "phash_a": fa["phash"].to_numpy(),
@@ -420,14 +438,36 @@ def dedup_images(
             return edge_cols.map_batches(join_verify, batch_format="pandas")
         # scale path: hash-partitioned joins (bytes-free feature table)
         n_parts = max(8, n_reps // 500_000)
-        fa = reps.select_columns(feat_cols).rename_columns(
-            {c: (c + "_a" if c != "image_id" else "id_a") for c in feat_cols}
-        )
-        fb = reps.select_columns(feat_cols).rename_columns(
-            {c: (c + "_b" if c != "image_id" else "id_b") for c in feat_cols}
-        )
+
+        def side(suffix: str, key: str):
+            def rename(df: pd.DataFrame) -> pd.DataFrame:
+                out = df.rename(
+                    columns={
+                        "_uid": key,
+                        **{
+                            c: c + suffix
+                            for c in feat_cols
+                            if c not in ("_uid",)
+                        },
+                    }
+                )
+                return out
+
+            return reps.select_columns(feat_cols).map_batches(
+                rename, batch_format="pandas"
+            )
+
+        fa = side("_a", "id_a")
+        fb = side("_b", "id_b")
         joined = edge_cols.join(fa, "inner", n_parts, on=("id_a",)).join(
             fb, "inner", n_parts, on=("id_b",)
+        )
+        # uid join keys served their purpose; expose string ids downstream
+        joined = joined.map_batches(
+            lambda df: df.drop(columns=["id_a", "id_b"]).rename(
+                columns={"image_id_a": "id_a", "image_id_b": "id_b"}
+            ),
+            batch_format="pandas",
         )
         return joined.map_batches(
             EdgeVerifier,

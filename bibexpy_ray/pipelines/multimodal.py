@@ -100,10 +100,11 @@ def image_decode_stats(sf_dir: str) -> rd.Dataset:
 
 def image_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Flagship image near-dup pipeline → cluster table (deterministic)."""
-    from bibexpy_ray.pipelines.dedup_images import dedup_images
+    from bibexpy_ray.pipelines.dedup_images import FEATURE_INPUT_COLS, dedup_images
 
     path = corpus_path_for(sf_dir)
-    ds = rd.read_parquet(path)
+    # prune at the read: the dedup path never reads image bytes
+    ds = rd.read_parquet(path, columns=FEATURE_INPUT_COLS)
     result = dedup_images(ds, DedupConfig())
     out = result.clusters.sort_values("cluster_id").reset_index(drop=True)
     return out

@@ -11,8 +11,8 @@ back to a sorted-by-pHash sliding window (near-pHash pairs — the only ones
 that can survive verification in a mega-bucket — remain adjacent), and the
 dropped-pair count is recorded per bucket in the metrics side-output.
 
-Only (band_key:uint64, image_id:string [, phash]) rows enter the shuffle —
-image bytes never do.
+Only (band_key:uint64, uid:uint64, phash:int64, kind:int8) rows enter the
+shuffle — numeric throughout; image bytes and id strings never do.
 """
 
 from __future__ import annotations
@@ -24,6 +24,15 @@ import pyarrow as pa
 from bibexpy_ray.config import DedupConfig
 from bibexpy_ray.functions import hashing
 
+#: bucket-row provenance: pHash-band pairs get an inline full-Hamming gate at
+#: emission (their 16-bit band space saturates at ~65k rows — without the gate
+#: candidate volume grows as n²/2^16); caption/prefix/authority pairs must NOT
+#: be Hamming-gated (borderline-band pairs have unrelated pixels by design).
+KIND_CAPTION = 0
+KIND_PREFIX = 1
+KIND_PHASH = 2
+KIND_AUTHORITY = 3
+
 
 def emit_caption_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     """(signed batch) -> (bucket_key, image_id) rows for MinHash LSH bands.
@@ -32,7 +41,6 @@ def emit_caption_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     captions — the reference's empty-surname catch-all block analog).
     """
     n = batch.num_rows
-    ids = batch.column("image_id")
     n_sh = batch.column("_n_shingles").to_numpy(zero_copy_only=False)
     mh = batch.column("_minhash")
     if isinstance(mh, pa.ChunkedArray):
@@ -45,17 +53,20 @@ def emit_caption_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     keys = hashing.band_keys(sig, cfg.lsh_bands, cfg.lsh_rows)  # (n, bands)
     keep = n_sh >= cfg.min_shingles
     keys = keys[keep]
-    id_rep = ids.filter(pa.array(keep)).to_pylist()
+    uids = batch.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)[keep]
     nk = keys.shape[0]
     return pa.table(
         {
             "bucket_key": pa.array(keys.ravel(), type=pa.uint64()),
-            "image_id": pa.array(np.repeat(np.asarray(id_rep, dtype=object), cfg.lsh_bands)),
+            "uid": pa.array(np.repeat(uids, cfg.lsh_bands), type=pa.uint64()),
             "phash": pa.array(
                 np.repeat(
                     batch.column("phash").to_numpy(zero_copy_only=False)[keep], cfg.lsh_bands
                 ),
                 type=pa.int64(),
+            ),
+            "kind": pa.array(
+                np.zeros(nk * cfg.lsh_bands, dtype=np.int8), type=pa.int8()
             ),
         }
     )
@@ -70,13 +81,15 @@ def emit_phash_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     ph = batch.column("phash").to_numpy(zero_copy_only=False)
     keys = hashing.phash_band_keys(ph, cfg.phash_bands)
     n = len(ph)
+    uids = batch.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
     return pa.table(
         {
             "bucket_key": pa.array(keys.ravel(), type=pa.uint64()),
-            "image_id": pa.array(
-                np.repeat(np.asarray(batch.column("image_id").to_pylist(), dtype=object), cfg.phash_bands)
-            ),
+            "uid": pa.array(np.repeat(uids, cfg.phash_bands), type=pa.uint64()),
             "phash": pa.array(np.repeat(ph, cfg.phash_bands), type=pa.int64()),
+            "kind": pa.array(
+                np.full(n * cfg.phash_bands, KIND_PHASH, dtype=np.int8), type=pa.int8()
+            ),
         }
     )
 
@@ -102,8 +115,9 @@ def emit_prefix_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         return pa.table(
             {
                 "bucket_key": pa.array([], type=pa.uint64()),
-                "image_id": pa.array([], type=pa.string()),
+                "uid": pa.array([], type=pa.uint64()),
                 "phash": pa.array([], type=pa.int64()),
+                "kind": pa.array([], type=pa.int8()),
             }
         )
     prefixes = pc.utf8_slice_codeunits(sub.column("_norm_caption"), 0, k)
@@ -111,8 +125,11 @@ def emit_prefix_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     return pa.table(
         {
             "bucket_key": pa.array(keys, type=pa.uint64()),
-            "image_id": sub.column("image_id").cast(pa.string()),
+            "uid": sub.column("_uid").cast(pa.uint64()),
             "phash": sub.column("phash").cast(pa.int64()),
+            "kind": pa.array(
+                np.full(sub.num_rows, KIND_PREFIX, dtype=np.int8), type=pa.int8()
+            ),
         }
     )
 
@@ -129,16 +146,20 @@ def emit_authority_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         return pa.table(
             {
                 "bucket_key": pa.array([], type=pa.uint64()),
-                "image_id": pa.array([], type=pa.string()),
+                "uid": pa.array([], type=pa.uint64()),
                 "phash": pa.array([], type=pa.int64()),
+                "kind": pa.array([], type=pa.int8()),
             }
         )
     keys = hashing.text_hash_u64(sub.column("_authority"), seed=11)
     return pa.table(
         {
             "bucket_key": pa.array(keys, type=pa.uint64()),
-            "image_id": sub.column("image_id").cast(pa.string()),
+            "uid": sub.column("_uid").cast(pa.uint64()),
             "phash": sub.column("phash").cast(pa.int64()),
+            "kind": pa.array(
+                np.full(sub.num_rows, KIND_AUTHORITY, dtype=np.int8), type=pa.int8()
+            ),
         }
     )
 
@@ -159,43 +180,81 @@ class BucketPairEmitter:
     dropped-pair count column so metrics report truncation (no silent caps).
     """
 
-    def __init__(self, cap: int = 2048, window: int = 8):
+    def __init__(self, cap: int = 2048, window: int = 8, phash_tol: int = 8):
         self.cap = cap
         self.window = window
+        self.phash_tol = phash_tol
 
     def __call__(self, part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
             return _EMPTY_PAIRS.copy()
-        part = part.sort_values(["bucket_key", "image_id"], kind="mergesort")
+        part = part.sort_values(["bucket_key", "uid"], kind="mergesort")
         keys = part["bucket_key"].to_numpy()
-        ids = part["image_id"].to_numpy()
+        ids = part["uid"].to_numpy(dtype=np.uint64)
         ph = part["phash"].to_numpy()
+        kinds = (
+            part["kind"].to_numpy()
+            if "kind" in part.columns
+            else np.zeros(len(part), dtype=np.int8)
+        )
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         ends = np.r_[starts[1:], len(keys)]
         sizes = ends - starts
+        tol = self.phash_tol
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
-        # size-2 buckets: the overwhelming majority — one vectorized emit
+
+        def gated(a, b, pha, phb, is_phash, d):
+            # inline full-Hamming gate for pHash-band pairs: the 16-bit band
+            # space saturates above ~65k rows, so random same-band collisions
+            # must die here, before the pair shuffle (see KIND_PHASH note)
+            if not is_phash:
+                return a, b, d
+            keep = (
+                hashing.hamming64(
+                    pha.astype(np.int64).view(np.uint64),
+                    phb.astype(np.int64).view(np.uint64),
+                )
+                <= tol
+            )
+            return a[keep], b[keep], d[keep]
+
+        # size-2 buckets: the overwhelming majority — one vectorized emit;
+        # gate only the phash-kind subset, others pass through untouched
         two = starts[sizes == 2]
         if len(two):
-            out_a.append(ids[two])
-            out_b.append(ids[two + 1])
-            out_d.append(np.zeros(len(two), dtype=np.int64))
+            is_ph = kinds[two] == KIND_PHASH
+            keep = np.ones(len(two), dtype=bool)
+            if is_ph.any():
+                ham = hashing.hamming64(
+                    ph[two][is_ph].astype(np.int64).view(np.uint64),
+                    ph[two + 1][is_ph].astype(np.int64).view(np.uint64),
+                )
+                keep[np.flatnonzero(is_ph)[ham > tol]] = False
+            out_a.append(ids[two][keep])
+            out_b.append(ids[two + 1][keep])
+            out_d.append(np.zeros(int(keep.sum()), dtype=np.int64))
         for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
             m = e - s
             n_pairs = m * (m - 1) // 2
+            is_phash = kinds[s] == KIND_PHASH
             if n_pairs <= self.cap:
                 ia, ib = np.triu_indices(m, k=1)
                 a, b = ids[s:e][ia], ids[s:e][ib]
+                pha, phb = ph[s:e][ia], ph[s:e][ib]
                 d = np.zeros(len(ia), dtype=np.int64)
             else:
                 order = np.argsort(ph[s:e], kind="stable")
                 seg = ids[s:e][order]
+                segp = ph[s:e][order]
                 w = self.window
                 a = np.concatenate([seg[:-off] for off in range(1, w + 1)])
                 b = np.concatenate([seg[off:] for off in range(1, w + 1)])
+                pha = np.concatenate([segp[:-off] for off in range(1, w + 1)])
+                phb = np.concatenate([segp[off:] for off in range(1, w + 1)])
                 d = np.full(len(a), n_pairs - len(a), dtype=np.int64)
+            a, b, d = gated(a, b, pha, phb, is_phash, d)
             out_a.append(a)
             out_b.append(b)
             out_d.append(d)
@@ -210,8 +269,8 @@ class BucketPairEmitter:
 
 _EMPTY_PAIRS = pd.DataFrame(
     {
-        "id_a": pd.Series([], dtype=object),
-        "id_b": pd.Series([], dtype=object),
+        "id_a": pd.Series([], dtype=np.uint64),
+        "id_b": pd.Series([], dtype=np.uint64),
         "dropped": pd.Series([], dtype=np.int64),
     }
 )
@@ -225,15 +284,11 @@ def dedupe_pairs(pairs_ds, num_partitions: int):
     hash of the pair and deduplicating with a vectorized pandas pass inside each
     partition is ~50x faster and shuffles the same bytes exactly once.
     """
-    import pyarrow.compute as pc
-
     def add_part(batch: pa.Table) -> pa.Table:
-        combined = pc.binary_join_element_wise(
-            batch.column("id_a").cast(pa.string()),
-            batch.column("id_b").cast(pa.string()),
-            "|",
-        )
-        k = hashing.text_hash_u64(combined)
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            k = hashing.splitmix64(a * np.uint64(1_000_003) ^ b)
         part = (k % np.uint64(num_partitions)).astype(np.int32)
         return batch.append_column("_part", pa.array(part, type=pa.int32()))
 

@@ -53,6 +53,11 @@ class SignatureStage:
             pc.replace_substring_regex(ids, "^[^#]*#", ""),
             pa.scalar(None, pa.string()),
         )
+        # numeric row id for the candidate path: shuffling/sorting u64 ids is
+        # several times cheaper than object-dtype strings. 64-bit collision
+        # probability is ~n²/2^64 (negligible below ~10^8 rows; a 128-bit uid
+        # is the documented upgrade for the trillion-row target).
+        uid = hashing.text_hash_u64(ids)
 
         nrows = batch.num_rows
         mh_list = pa.FixedSizeListArray.from_arrays(
@@ -65,6 +70,7 @@ class SignatureStage:
             .append_column("_simhash", pa.array(simhash, type=pa.uint64()))
             .append_column("_minhash", mh_list)
             .append_column("_authority", authority.combine_chunks() if isinstance(authority, pa.ChunkedArray) else authority)
+            .append_column("_uid", pa.array(uid, type=pa.uint64()))
         )
 
 

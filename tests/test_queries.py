@@ -61,6 +61,7 @@ ORACLE_QUERIES = [
     "exact_dedup", "neardup_pairs_char5", "neardup_pairs_word3",
     "ann_topk", "embedding_neardup",
     "top_orders", "union_filtered", "coalesce_fill",
+    "asof_join", "daily_event_counts",
 ]
 
 
