@@ -108,6 +108,10 @@ def _scaling_child(num_cpus: int, corpus: str) -> dict:
     # prune at the read: the dedup path never reads image bytes
     ds = rd.read_parquet(corpus, columns=FEATURE_INPUT_COLS)
     n = ds.count()
+    # untimed warm-up pass so both parallelism levels read a warm page cache
+    # (otherwise the first level pays cold I/O and efficiency is overstated)
+    for _ in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        pass
     t0 = time.time()
     result = dedup_images(ds, DedupConfig())
     dt = time.time() - t0

@@ -278,14 +278,17 @@ def dedup_images(
         return rdir.materialize(name, factory)
 
     features = checkpoint("features", lambda: compute_features(ds, cfg))
-    if rdir is None:
-        # Pin the feature table (ids + signatures, bytes excluded — bounded at
-        # ~1.1 KB/row) so the five downstream consumers don't re-run the
-        # signature actor pool per consumption; with a run_dir the parquet
-        # checkpoint already serves this purpose.
-        features = features.materialize()
+    # Pin the feature table (ids + signatures, bytes excluded — bounded at
+    # ~1.1 KB/row) in the object store: five downstream consumers read it, and
+    # without pinning each one would either re-run the signature stage (no
+    # run_dir) or re-decode the fixed-size-list parquet checkpoint (run_dir —
+    # measured ~20 s per consumer at 192k rows on 8 CPUs).
+    features = features.materialize()
 
-    n_coarse = max(16, int(ray.cluster_resources().get("CPU", 4)) * 2)
+    # fixed floor, not CPU-proportional: coarse partitions bound per-task skew
+    # (hot buckets concentrate in few partitions when P is small) and a fixed
+    # P keeps results and load shape identical across cluster sizes
+    n_coarse = max(64, int(ray.cluster_resources().get("CPU", 4)) * 2)
 
     # ---- exact pre-collapse -------------------------------------------------
     def exact_stage():
@@ -326,17 +329,25 @@ def dedup_images(
     exact_losers: set[str] = set(exact_pd["id_b"]) if len(exact_pd) else set()
     metrics["exact_edges"] = int(len(exact_pd))
 
-    loser_ref = ray.put(exact_losers)
+    # loser filter by numeric uid against a PREBUILT sorted array — building
+    # or sorting the value set per batch would dominate the filter
+    from bibexpy_ray.functions.hashing import text_hash_u64 as _th64
+
+    loser_uids = (
+        np.sort(_th64(sorted(exact_losers))) if exact_losers else np.empty(0, np.uint64)
+    )
+    loser_ref = ray.put(loser_uids)
 
     def drop_losers(batch: pa.Table) -> pa.Table:
-        # pure-Arrow filter: keeps the _minhash fixed_size_list column intact
+        # pure-Arrow-adjacent filter: keeps the _minhash fixed_size_list intact
         lose = ray.get(loser_ref)
-        if not lose:
+        if lose.size == 0:
             return batch
-        mask = pa.compute.invert(
-            pa.compute.is_in(batch.column("image_id"), value_set=pa.array(sorted(lose)))
-        )
-        return batch.filter(mask)
+        uids = batch.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(lose, uids)
+        pos[pos == lose.size] = 0
+        mask = lose[pos] != uids
+        return batch.filter(pa.array(mask))
 
     reps = features.map_batches(drop_losers, batch_format="pyarrow")
 
@@ -369,6 +380,11 @@ def dedup_images(
             )
             .groupby("_part")
             .map_groups(emit_pairs, batch_format="pandas")
+            # barrier: the union below would otherwise put two all-to-all
+            # Sorts (bucket groupby + containment groupby + pair dedupe) into
+            # one streaming DAG, which thrashes badly at low CPU counts
+            # (measured 5x slower at 8 CPUs); pairs are ids-only — cheap to pin
+            .materialize()
         )
         if cfg.substring_pass:
             # suffix-array containment pass (Stage-4 feeder for contained
@@ -390,18 +406,20 @@ def dedup_images(
                     }
                 )
 
-            contained = containment_candidates(
-                reps.select_columns(["image_id", "_norm_caption"]), cfg, n_coarse
-            ).map_batches(to_uid_pairs, batch_format="pandas")
+            contained = (
+                containment_candidates(
+                    reps.select_columns(["image_id", "_norm_caption"]), cfg, n_coarse
+                )
+                .map_batches(to_uid_pairs, batch_format="pandas")
+                .materialize()
+            )
             pairs = pairs.union(contained)
         # a pair appears in many buckets: dedupe on (id_a, id_b)
         return dedupe_pairs(pairs, n_coarse)
 
-    edges_raw = checkpoint("edges_raw", candidates_stage)
-    if rdir is None:
-        # candidate edges feed both the verifier and the metrics count — pin
-        # them so the shuffle-heavy candidate stage executes exactly once
-        edges_raw = edges_raw.materialize()
+    # candidate edges feed both the verifier and the metrics count — pin them
+    # so the shuffle-heavy candidate stage executes exactly once
+    edges_raw = checkpoint("edges_raw", candidates_stage).materialize()
 
     # ---- verification -------------------------------------------------------
     # edges carry numeric uids; verification joins features back BY UID and
@@ -414,23 +432,35 @@ def dedup_images(
         n_reps = features.count() - len(exact_losers)
         edge_cols = edges_raw.select_columns(["id_a", "id_b"])
         if n_reps <= BROADCAST_LIMIT:
-            feat_pd = reps.select_columns(feat_cols).to_pandas().set_index("_uid")
-            feat_ref = ray.put(feat_pd)
+            # broadcast lookup as uid-sorted numpy columns: searchsorted probes
+            # are vectorized and the build avoids a driver-side pandas index
+            feat_tbl = pa.concat_tables(
+                ray.get(reps.select_columns(feat_cols).to_arrow_refs())
+            ).combine_chunks()
+            uids = feat_tbl.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
+            order = np.argsort(uids)
+            uids = uids[order]
+            cols = {
+                c: feat_tbl.column(c).to_numpy(zero_copy_only=False)[order]
+                for c in feat_cols
+                if c != "_uid"
+            }
+            feat_ref = ray.put((uids, cols))
 
             def join_verify(batch: pd.DataFrame) -> pd.DataFrame:
-                feats = ray.get(feat_ref)
-                fa = feats.reindex(batch["id_a"].to_numpy(dtype=np.uint64))
-                fb = feats.reindex(batch["id_b"].to_numpy(dtype=np.uint64))
+                suids, scols = ray.get(feat_ref)
+                pa_idx = np.searchsorted(suids, batch["id_a"].to_numpy(dtype=np.uint64))
+                pb_idx = np.searchsorted(suids, batch["id_b"].to_numpy(dtype=np.uint64))
                 joined = pd.DataFrame(
                     {
-                        "id_a": fa["image_id"].to_numpy(),
-                        "id_b": fb["image_id"].to_numpy(),
-                        "_norm_caption_a": fa["_norm_caption"].to_numpy(),
-                        "_norm_caption_b": fb["_norm_caption"].to_numpy(),
-                        "phash_a": fa["phash"].to_numpy(),
-                        "phash_b": fb["phash"].to_numpy(),
-                        "_authority_a": fa["_authority"].to_numpy(),
-                        "_authority_b": fb["_authority"].to_numpy(),
+                        "id_a": scols["image_id"][pa_idx],
+                        "id_b": scols["image_id"][pb_idx],
+                        "_norm_caption_a": scols["_norm_caption"][pa_idx],
+                        "_norm_caption_b": scols["_norm_caption"][pb_idx],
+                        "phash_a": scols["phash"][pa_idx],
+                        "phash_b": scols["phash"][pb_idx],
+                        "_authority_a": scols["_authority"][pa_idx],
+                        "_authority_b": scols["_authority"][pb_idx],
                     }
                 )
                 return EdgeVerifier(cfg)(joined)
@@ -476,8 +506,12 @@ def dedup_images(
             concurrency=_default_concurrency(),
         )
 
+    import time as _time
+
+    t_phase = _time.time()
     verified = checkpoint("verified", verify_stage)
     verified_pd = verified.to_pandas()
+    metrics["s_verify_collect"] = round(_time.time() - t_phase, 2)
     borderline = verified_pd[verified_pd["stage"] == "5_borderline"].reset_index(drop=True)
     auto = verified_pd[
         (verified_pd["stage"] != "5_borderline") & (verified_pd["confidence"] >= 0.9)
@@ -487,6 +521,7 @@ def dedup_images(
     metrics["borderline"] = int(len(borderline))
 
     # ---- connected components ----------------------------------------------
+    t_phase = _time.time()
     all_edges = list(zip(auto["id_a"], auto["id_b"]))
     if len(exact_pd):
         all_edges += list(zip(exact_pd["id_a"], exact_pd["id_b"]))
@@ -504,6 +539,8 @@ def dedup_images(
     else:
         cluster_map = clusters_driver(all_edges)
     metrics["clusters"] = len(set(cluster_map.values()))
+    metrics["s_unionfind"] = round(_time.time() - t_phase, 2)
+    t_phase = _time.time()
 
     # ---- survivor selection -------------------------------------------------
     if cluster_map:
@@ -541,6 +578,7 @@ def dedup_images(
             {"cluster_id": [], "survivor_id": [], "cluster_size": [], "members": []}
         )
 
+    metrics["s_survivor"] = round(_time.time() - t_phase, 2)
     if rdir is not None:
         rdir.mark_done("result", metrics)
 
