@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coalesce_fill": relational.coalesce_fill,
         # entity clustering (disambiguation analog) + model scoring
         "entity_clusters": entity.customer_name_clusters,
+        "entity_splits": entity.source_lang_splits,
         "source_classifier": mlscore.source_classifier,
         # filters (filter_engine analogs)
         "filter_range": relational.filter_numeric_range,

@@ -179,3 +179,82 @@ def customer_name_clusters(sf_dir: str) -> pd.DataFrame:
 
     out = cluster_mentions(ds.map_batches(prep, batch_format="pandas"), "c_name").to_pandas()
     return out.sort_values(["canonical", "variants"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Split proposals (blocking.py:266-359 build_author_splits analog)
+# ---------------------------------------------------------------------------
+
+
+def split_proposals(
+    ds: rd.Dataset, mention_col: str, feature_col: str, n_parts: int = 32
+) -> pd.DataFrame:
+    """Same-spelling mentions partitioned into connected components over
+    shared-feature edges; ≥ 2 disjoint components ⇒ split proposal
+    (blocking.py:266-359): the largest component keeps the plain name, the
+    others get (b)(c)… suffixes — exactly the reference's renaming scheme.
+
+    Feature model: two mentions of the same spelling connect iff they share a
+    feature value; components = disjoint feature-value groups (the reference's
+    `_field_components` over WC/SC/DE/ID token sets).
+    """
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = [normalize_name(m) for m in batch[mention_col].fillna("")]
+        out = pd.DataFrame(
+            {
+                "_norm": norm,
+                "feature": batch[feature_col].fillna("").astype(str),
+            }
+        )
+        out = out[out["_norm"] != ""]
+        h = hashing.text_hash_u64(out["_norm"].tolist())
+        out["_part"] = (h % np.uint64(n_parts)).astype(np.int32)
+        return out
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for name, g in df.groupby("_norm"):
+            counts = g.groupby("feature").size().sort_index()
+            feats = [f for f in counts.index if f]
+            if len(feats) < 2:
+                continue
+            # components: distinct feature values are disjoint evidence sets
+            # (the generic analog of disjoint token-set components)
+            comps = sorted(feats, key=lambda f: (-counts[f], f))
+            suffixes = [""] + [f"({chr(ord('b') + i)})" for i in range(len(comps) - 1)]
+            for comp, suf in zip(comps, suffixes):
+                rows.append(
+                    {
+                        "mention": name,
+                        "component_feature": comp,
+                        "n_mentions": int(counts[comp]),
+                        "proposed_name": name + (f" {suf}" if suf else ""),
+                    }
+                )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "mention": pd.Series([], dtype=object),
+                    "component_feature": pd.Series([], dtype=object),
+                    "n_mentions": pd.Series([], dtype=np.int64),
+                    "proposed_name": pd.Series([], dtype=object),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["mention", "component_feature"])
+        .reset_index(drop=True)
+    )
+
+
+def source_lang_splits(sf_dir: str) -> pd.DataFrame:
+    """Split-proposal query: sources serving ≥ 2 languages get per-language
+    split components (the same-spelling/different-field-evidence case)."""
+    ds = read_table(sf_dir, "documents", ["source", "lang"])
+    return split_proposals(ds, "source", "lang")

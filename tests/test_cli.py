@@ -1,0 +1,35 @@
+"""CLI (ray job submit surface) smoke test — runs in its own process with its
+own Ray session, as a submitted job would."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_synth_and_dedup(tmp_path):
+    corpus = str(tmp_path / "corpus")
+    out = subprocess.run(
+        [sys.executable, "-m", "bibexpy_ray.cli", "synth", "--out", corpus,
+         "--rows", "120", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd=REPO, env={**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": ""},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    info = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert info["rows"] == 120
+
+    run_dir = str(tmp_path / "run")
+    out = subprocess.run(
+        [sys.executable, "-m", "bibexpy_ray.cli", "dedup", "--input", corpus,
+         "--out", run_dir, "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd=REPO, env={**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": ""},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert result["metrics"]["clusters"] == 20  # 10 cohorts x 2 clusters
+    assert os.path.exists(os.path.join(run_dir, "manifest.json"))
+    assert os.path.exists(os.path.join(run_dir, "exports", "clusters.tsv"))

@@ -99,3 +99,27 @@ def test_cluster_block_tiers():
     assert big["tier"] in (1, 2)
     # singletons (zzz/qqq) never become proposals
     assert not any("zzz" in v for v in out["variants"])
+
+
+def test_split_proposals():
+    import ray.data as rd
+
+    from bibexpy_ray.pipelines.entity import split_proposals
+
+    df = pd.DataFrame(
+        {
+            "name": ["j smith"] * 5 + ["a jones"] * 2 + ["only one"],
+            "field": ["physics", "physics", "physics", "biology", "biology",
+                      "chem", "chem", "math"],
+        }
+    )
+    out = split_proposals(rd.from_pandas(df), "name", "field")
+    smith = out[out["mention"] == "j smith"]
+    assert len(smith) == 2
+    # largest component keeps the plain name; the other gets the (b) suffix
+    top = smith.loc[smith["n_mentions"].idxmax()]
+    assert top["proposed_name"] == "j smith" and top["component_feature"] == "physics"
+    assert set(smith["proposed_name"]) == {"j smith", "j smith (b)"}
+    # single-feature and singleton names never propose splits
+    assert "a jones" not in set(out["mention"])
+    assert "only one" not in set(out["mention"])
