@@ -36,6 +36,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from bibexpy_ray.pipelines import (
         ann,
+        assign,
         docdedup,
         entity,
         mlscore,
@@ -54,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_filtered": relational.union_filtered,
         "coalesce_fill": relational.coalesce_fill,
         # entity clustering (disambiguation analog) + model scoring
+        "smart_match": assign.smart_match_pairs,
         "entity_clusters": entity.customer_name_clusters,
         "entity_splits": entity.source_lang_splits,
         "source_classifier": mlscore.source_classifier,
@@ -141,8 +143,8 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS s, COUNT(*) AS c "
             "FROM customer WHERE c_acctbal >= 0 GROUP BY 1) "
             "SELECT c_custkey, "
-            "CASE WHEN c_acctbal >= 0 OR s IS NULL "
-            "THEN CAST(round(c_acctbal*100, 0) AS BIGINT) ELSE s // c END AS acctbal_cents, "
+            "CAST(CASE WHEN c_acctbal >= 0 OR s IS NULL "
+            "THEN CAST(round(c_acctbal*100, 0) AS BIGINT) ELSE s // c END AS BIGINT) AS acctbal_cents, "
             "c_acctbal < 0 AS imputed "
             "FROM customer LEFT JOIN avgc USING (c_nationkey)"
         ),

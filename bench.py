@@ -121,6 +121,7 @@ def _scaling_child(num_cpus: int, corpus: str) -> dict:
         "seconds": round(dt, 3),
         "rows_per_sec": round(n / dt, 1),
         "clusters": int(result.metrics.get("clusters", 0)),
+        "metrics": {k: v for k, v in result.metrics.items()},
     }
     ray.shutdown()
     return out

@@ -143,18 +143,18 @@ def merge_pair_with_preferences(
         pref = FIELD_PREFERENCES.get(field, DEFAULT_PREFERENCE)
         if pref == "union":
             merged[field] = union_values([wv, sv])
-            continue
-        if pref == "crossfill":
+        elif pref == "crossfill":
             # WoS-first, Scopus fills blanks (smart_merger.py WC/SC rows)
             merged[field] = to_str(wv) if not is_empty(wv) else to_str(sv)
-            continue
-        primary, secondary = (wv, sv) if pref == "wos" else (sv, wv)
-        chosen = to_str(primary) if not is_empty(primary) else to_str(secondary)
-        merged[field] = chosen
+        else:
+            primary, secondary = (wv, sv) if pref == "wos" else (sv, wv)
+            merged[field] = to_str(primary) if not is_empty(primary) else to_str(secondary)
+        # conflict log for EVERY preference kind (the reference checks after
+        # _apply_preference regardless of rule, smart_merger.py:441-452)
         if (
             not is_empty(wv)
             and not is_empty(sv)
-            and to_str(wv).lower() != to_str(sv).lower()
+            and to_str(wv).lower().strip() != to_str(sv).lower().strip()
         ):
             conflicts.append(
                 {"field": field, "chosen_source": pref, "wos": to_str(wv),

@@ -255,9 +255,17 @@ def dedup_images(
     """Run the full near-duplicate pipeline. ``ds`` must have IMAGE_SCHEMA columns
     (bytes optional — never read here). Returns cluster assignments + side outputs.
     """
+    import time as _time
+
     cfg = cfg or DedupConfig()
     rdir = RunDir(run_dir, config={"cfg": str(cfg)}) if run_dir else None
     metrics: dict = {}
+    t_phase = _time.time()
+
+    def _lap(name: str) -> None:
+        nonlocal t_phase
+        metrics[name] = round(_time.time() - t_phase, 2)
+        t_phase = _time.time()
 
     if ds.count() == 0:
         empty = pd.DataFrame(
@@ -284,6 +292,7 @@ def dedup_images(
     # run_dir) or re-decode the fixed-size-list parquet checkpoint (run_dir —
     # measured ~20 s per consumer at 192k rows on 8 CPUs).
     features = features.materialize()
+    _lap("s_features")
 
     # fixed floor, not CPU-proportional: coarse partitions bound per-task skew
     # (hot buckets concentrate in few partitions when P is small) and a fixed
@@ -328,6 +337,7 @@ def dedup_images(
     exact_pd = exact_edges.to_pandas()
     exact_losers: set[str] = set(exact_pd["id_b"]) if len(exact_pd) else set()
     metrics["exact_edges"] = int(len(exact_pd))
+    _lap("s_exact")
 
     # loser filter by numeric uid against a PREBUILT sorted array — building
     # or sorting the value set per batch would dominate the filter
@@ -420,6 +430,7 @@ def dedup_images(
     # candidate edges feed both the verifier and the metrics count — pin them
     # so the shuffle-heavy candidate stage executes exactly once
     edges_raw = checkpoint("edges_raw", candidates_stage).materialize()
+    _lap("s_candidates")
 
     # ---- verification -------------------------------------------------------
     # edges carry numeric uids; verification joins features back BY UID and
@@ -506,12 +517,9 @@ def dedup_images(
             concurrency=_default_concurrency(),
         )
 
-    import time as _time
-
-    t_phase = _time.time()
     verified = checkpoint("verified", verify_stage)
     verified_pd = verified.to_pandas()
-    metrics["s_verify_collect"] = round(_time.time() - t_phase, 2)
+    _lap("s_verify_collect")
     borderline = verified_pd[verified_pd["stage"] == "5_borderline"].reset_index(drop=True)
     auto = verified_pd[
         (verified_pd["stage"] != "5_borderline") & (verified_pd["confidence"] >= 0.9)
@@ -519,9 +527,9 @@ def dedup_images(
     metrics["candidate_edges"] = int(edges_raw.count())
     metrics["verified_auto"] = int(len(auto))
     metrics["borderline"] = int(len(borderline))
+    t_phase = _time.time()
 
     # ---- connected components ----------------------------------------------
-    t_phase = _time.time()
     all_edges = list(zip(auto["id_a"], auto["id_b"]))
     if len(exact_pd):
         all_edges += list(zip(exact_pd["id_a"], exact_pd["id_b"]))
@@ -539,8 +547,7 @@ def dedup_images(
     else:
         cluster_map = clusters_driver(all_edges)
     metrics["clusters"] = len(set(cluster_map.values()))
-    metrics["s_unionfind"] = round(_time.time() - t_phase, 2)
-    t_phase = _time.time()
+    _lap("s_unionfind")
 
     # ---- survivor selection -------------------------------------------------
     if cluster_map:
@@ -578,7 +585,7 @@ def dedup_images(
             {"cluster_id": [], "survivor_id": [], "cluster_size": [], "members": []}
         )
 
-    metrics["s_survivor"] = round(_time.time() - t_phase, 2)
+    _lap("s_survivor")
     if rdir is not None:
         rdir.mark_done("result", metrics)
 

@@ -119,19 +119,31 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-_EMPTY_INT_PAIRS = pd.DataFrame(
-    {
+def _empty_int_pairs(extra: dict[str, np.dtype] | None = None) -> pd.DataFrame:
+    cols = {
         "id_a": pd.Series([], dtype=np.int64),
         "id_b": pd.Series([], dtype=np.int64),
     }
-)
+    for name, dt in (extra or {}).items():
+        cols[name] = pd.Series([], dtype=dt)
+    return pd.DataFrame(cols)
+
+
+_EMPTY_INT_PAIRS = _empty_int_pairs({"dropped": np.int64})
 
 
 class IntBucketPairEmitter:
     """Vectorized pair emission over a hash partition of (bucket_key, doc_id)
     rows — the int-id sibling of stages.lsh.BucketPairEmitter. Size-2 buckets
-    emit in one vector op; ≥3 buckets cross-product up to ``cap`` pairs, beyond
-    which a sorted-by-id sliding window bounds the blowup (hot-bucket split)."""
+    emit in one vector op; ≥3 buckets cross-product up to ``cap`` pairs.
+
+    Hot buckets (> cap pairs) fall back to a sliding window ordered by
+    signature proximity (``sortkey`` — e.g. the first MinHash permutation —
+    keeps near-identical docs adjacent) with a per-bucket salt
+    (``splitmix64(doc_id ^ bucket_key)`` tie-break) so different bands'
+    windows truncate DIFFERENT pairs and their union recovers coverage; the dropped
+    pair count is emitted per row (no silent truncation — the count survives
+    dedupe as max and surfaces in metrics)."""
 
     def __init__(self, cap: int = 4096, window: int = 8):
         self.cap = cap
@@ -143,53 +155,87 @@ class IntBucketPairEmitter:
         part = part.sort_values(["bucket_key", "doc_id"], kind="mergesort")
         keys = part["bucket_key"].to_numpy()
         ids = part["doc_id"].to_numpy(dtype=np.int64)
+        sortkey = (
+            part["sortkey"].to_numpy(dtype=_U64)
+            if "sortkey" in part.columns
+            else None
+        )
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         ends = np.r_[starts[1:], len(keys)]
         sizes = ends - starts
-        out_a, out_b = [], []
+        out_a, out_b, out_d = [], [], []
         two = starts[sizes == 2]
         if len(two):
             out_a.append(ids[two])
             out_b.append(ids[two + 1])
+            out_d.append(np.zeros(len(two), dtype=np.int64))
         for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
             m = e - s
-            if m * (m - 1) // 2 <= self.cap:
+            n_pairs = m * (m - 1) // 2
+            if n_pairs <= self.cap:
                 ia, ib = np.triu_indices(m, k=1)
                 out_a.append(ids[s:e][ia])
                 out_b.append(ids[s:e][ib])
+                out_d.append(np.zeros(len(ia), dtype=np.int64))
             else:
-                seg = ids[s:e]
+                # per-band salted proximity order (see class docstring)
+                salt = hashing.splitmix64(ids[s:e].view(_U64) ^ keys[s])
+                if sortkey is not None:
+                    order = np.lexsort((salt, sortkey[s:e]))
+                else:
+                    order = np.argsort(salt, kind="stable")
+                seg = ids[s:e][order]
                 w = self.window
-                out_a.append(np.concatenate([seg[:-off] for off in range(1, w + 1)]))
-                out_b.append(np.concatenate([seg[off:] for off in range(1, w + 1)]))
+                a = np.concatenate([seg[:-off] for off in range(1, w + 1)])
+                b = np.concatenate([seg[off:] for off in range(1, w + 1)])
+                out_a.append(a)
+                out_b.append(b)
+                out_d.append(np.full(len(a), n_pairs - len(a), dtype=np.int64))
         if not out_a:
             return _EMPTY_INT_PAIRS.copy()
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         return pd.DataFrame(
-            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "dropped": np.concatenate(out_d),
+            }
         )
 
 
-def _dedupe_int_pairs(pairs: rd.Dataset, n_parts: int) -> rd.Dataset:
-    """Distinct (id_a, id_b) — partition on a pair hash, dedupe per partition."""
+def _dedupe_int_pairs(
+    pairs: rd.Dataset, n_parts: int, agg: dict[str, str] | None = None
+) -> rd.Dataset:
+    """Distinct (id_a, id_b) — partition on a pair hash, dedupe per partition.
+
+    ``agg`` maps extra columns to 'min'/'max' reducers applied across the
+    duplicate copies of a pair (e.g. {'dropped': 'max'}, {'hamming': 'min'});
+    unlisted extra columns are dropped.
+    """
+    agg = agg or {}
 
     def add_part(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
         h = hashing.splitmix64(a.view(_U64) * _U64(1_000_003) ^ b.view(_U64))
-        return batch.append_column(
+        keep = ["id_a", "id_b", *agg.keys()]
+        return batch.select(keep).append_column(
             "_part", pa.array((h % _U64(n_parts)).astype(np.int32), type=pa.int32())
         )
 
     def dedupe(part: pd.DataFrame) -> pd.DataFrame:
-        out = part.drop_duplicates(subset=["id_a", "id_b"])
-        return pd.DataFrame(
-            {
-                "id_a": out["id_a"].astype(np.int64),
-                "id_b": out["id_b"].astype(np.int64),
-            }
-        )
+        if agg:
+            g = part.groupby(["id_a", "id_b"], as_index=False).agg(agg)
+        else:
+            g = part.drop_duplicates(subset=["id_a", "id_b"])
+        out = {
+            "id_a": g["id_a"].astype(np.int64),
+            "id_b": g["id_b"].astype(np.int64),
+        }
+        for c in agg:
+            out[c] = g[c].astype(np.int64)
+        return pd.DataFrame(out)
 
     return (
         pairs.map_batches(add_part, batch_format="pyarrow")
@@ -228,10 +274,14 @@ def lsh_candidate_pairs(
         keep = np.diff(offs) >= min_shingles
         keys = keys[keep]
         ids = ids[keep]
+        # sortkey = first MinHash permutation: a cheap signature-proximity
+        # order for hot-bucket windows (near-identical docs share it)
+        sk = sig[keep, 0].astype(_U64)
         return pa.table(
             {
                 "bucket_key": pa.array(keys.ravel(), type=pa.uint64()),
                 "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
+                "sortkey": pa.array(np.repeat(sk, bands), type=pa.uint64()),
             }
         )
 
@@ -248,12 +298,117 @@ def lsh_candidate_pairs(
         .groupby("_part")
         .map_groups(lambda df: emitter(df), batch_format="pandas")
     )
-    return _dedupe_int_pairs(pairs, n_parts)
+    return _dedupe_int_pairs(pairs, n_parts, agg={"dropped": "max"})
 
 
 # ---------------------------------------------------------------------------
 # Exact-Jaccard verification (oracle-matched integer sizes)
 # ---------------------------------------------------------------------------
+
+
+def _jaccard_batch(
+    a_ids: np.ndarray,
+    b_ids: np.ndarray,
+    texts_a: list[str],
+    texts_b: list[str],
+    shingle_mode: str,
+    tau: float,
+) -> pd.DataFrame:
+    """Exact shingle-set Jaccard over one batch of candidate pairs (shared by
+    the broadcast and hash-join verify paths)."""
+    if shingle_mode == "char5":
+        fa, oa = char_shingles(texts_a, 5)
+        fb, ob = char_shingles(texts_b, 5)
+    else:
+        fa, oa = word_shingles(texts_a, 3)
+        fb, ob = word_shingles(texts_b, 3)
+    inter = np.zeros(len(a_ids), dtype=np.int64)
+    union = np.zeros(len(a_ids), dtype=np.int64)
+    for i in range(len(a_ids)):
+        sa = fa[oa[i] : oa[i + 1]]
+        sb = fb[ob[i] : ob[i + 1]]
+        ni = np.intersect1d(sa, sb, assume_unique=True).size
+        inter[i] = ni
+        union[i] = sa.size + sb.size - ni
+    keep = inter >= tau * union
+    return pd.DataFrame(
+        {
+            "id_a": a_ids[keep],
+            "id_b": b_ids[keep],
+            "inter_size": inter[keep],
+            "union_size": union[keep],
+        }
+    )
+
+
+def _verify_jaccard_ds(
+    pairs: rd.Dataset,
+    sf_dir: str,
+    shingle_mode: str,
+    tau: float,
+) -> rd.Dataset:
+    """Exact shingle-set Jaccard per candidate pair; keep inter/union ≥ τ.
+
+    Below ``BROADCAST_DOC_LIMIT`` docs the (doc_id, text) table broadcasts as
+    uid-sorted arrays (``ray.put`` — one copy per node, vectorized searchsorted
+    probes with an exact-match guard). Above it, the texts hash-join to the
+    pair stream side by side (the flagship's equivalence-tested join pattern,
+    dedup_images.py verify_stage) — no whole-corpus collect at any scale.
+    Candidate pairs are a tiny post-LSH fraction, so the per-pair set
+    intersection is off the hot path (the reference verifies the same way —
+    per-candidate Jaro-Winkler, smart_merger.py:641-651).
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    pairs = pairs.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+    if n_docs <= BROADCAST_DOC_LIMIT:
+        doc_tbl = pa.concat_tables(ray.get(docs.to_arrow_refs())).combine_chunks()
+        ids = doc_tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        texts = np.asarray(doc_tbl.column("text").to_pylist(), dtype=object)[order]
+        ref = ray.put((ids, texts))
+
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            sids, stexts = ray.get(ref)
+            a_ids = batch["id_a"].to_numpy(dtype=np.int64)
+            b_ids = batch["id_b"].to_numpy(dtype=np.int64)
+            ia = np.minimum(np.searchsorted(sids, a_ids), len(sids) - 1)
+            ib = np.minimum(np.searchsorted(sids, b_ids), len(sids) - 1)
+            ok = (sids[ia] == a_ids) & (sids[ib] == b_ids)
+            if not ok.all():  # unknown ids can't verify (resume/drift guard)
+                a_ids, b_ids, ia, ib = a_ids[ok], b_ids[ok], ia[ok], ib[ok]
+            return _jaccard_batch(
+                a_ids, b_ids, list(stexts[ia]), list(stexts[ib]), shingle_mode, tau
+            )
+
+        return pairs.map_batches(verify, batch_format="pandas")
+    # scale path: hash-partitioned joins of the text table to each pair side
+    n_parts = max(8, n_docs // 500_000)
+
+    def side(key: str):
+        return docs.map_batches(
+            lambda df, k=key: df.rename(columns={"doc_id": k, "text": f"text{k[2:]}"}),
+            batch_format="pandas",
+        )
+
+    joined = pairs.join(side("id_a"), "inner", n_parts, on=("id_a",)).join(
+        side("id_b"), "inner", n_parts, on=("id_b",)
+    )
+
+    def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        return _jaccard_batch(
+            batch["id_a"].to_numpy(dtype=np.int64),
+            batch["id_b"].to_numpy(dtype=np.int64),
+            batch["text_a"].tolist(),
+            batch["text_b"].tolist(),
+            shingle_mode,
+            tau,
+        )
+
+    return joined.map_batches(verify_joined, batch_format="pandas")
 
 
 def _verify_jaccard(
@@ -262,53 +417,8 @@ def _verify_jaccard(
     shingle_mode: str,
     tau: float,
 ) -> pd.DataFrame:
-    """Exact shingle-set Jaccard per candidate pair; keep inter/union ≥ τ.
-
-    The id→text map broadcasts via ``ray.put`` (one copy per node) below
-    ``BROADCAST_DOC_LIMIT`` docs; the per-pair set intersection runs on sorted
-    u64 arrays. Candidate pairs are a tiny post-LSH fraction, so the per-pair
-    loop is off the hot path (the reference verifies the same way —
-    per-candidate Jaro-Winkler, smart_merger.py:641-651).
-    """
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = docs.count()
-    if n_docs > BROADCAST_DOC_LIMIT:  # pragma: no cover - scale path
-        raise NotImplementedError("hash-join verify path: join pairs to texts by id")
-    doc_pd = docs.to_pandas()
-    id2text = dict(zip(doc_pd["doc_id"].astype(np.int64), doc_pd["text"]))
-    ref = ray.put(id2text)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
-        a_ids = batch["id_a"].to_numpy(dtype=np.int64)
-        b_ids = batch["id_b"].to_numpy(dtype=np.int64)
-        texts_a = [lookup[i] for i in a_ids]
-        texts_b = [lookup[i] for i in b_ids]
-        if shingle_mode == "char5":
-            fa, oa = char_shingles(texts_a, 5)
-            fb, ob = char_shingles(texts_b, 5)
-        else:
-            fa, oa = word_shingles(texts_a, 3)
-            fb, ob = word_shingles(texts_b, 3)
-        inter = np.zeros(len(a_ids), dtype=np.int64)
-        union = np.zeros(len(a_ids), dtype=np.int64)
-        for i in range(len(a_ids)):
-            sa = fa[oa[i] : oa[i + 1]]
-            sb = fb[ob[i] : ob[i + 1]]
-            ni = np.intersect1d(sa, sb, assume_unique=True).size
-            inter[i] = ni
-            union[i] = sa.size + sb.size - ni
-        keep = inter >= tau * union
-        return pd.DataFrame(
-            {
-                "id_a": a_ids[keep],
-                "id_b": b_ids[keep],
-                "inter_size": inter[keep],
-                "union_size": union[keep],
-            }
-        )
-
-    out = pairs.map_batches(verify, batch_format="pandas").to_pandas()
+    """Collected + deterministically ordered verify result (query surface)."""
+    out = _verify_jaccard_ds(pairs, sf_dir, shingle_mode, tau).to_pandas()
     if len(out) == 0:
         return pd.DataFrame(
             {
@@ -321,11 +431,37 @@ def _verify_jaccard(
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+#: memo for the verified char5 pair table: ``minhash_clusters`` builds on
+#: ``neardup_pairs_char5`` — within one process (bench, driver gate) the
+#: LSH + verify stages run ONCE and both queries share the result. Keyed by
+#: (resolved path, documents mtime) so fixture rewrites invalidate.
+_char5_pairs_memo: dict[tuple, pd.DataFrame] = {}
+
+
+def _char5_memo_key(sf_dir: str, tau: float) -> tuple:
+    import glob
+    import os
+
+    root = os.path.realpath(sf_dir)
+    mt = max(
+        (os.path.getmtime(p) for p in glob.glob(os.path.join(root, "documents*"))),
+        default=0.0,
+    )
+    return (root, round(mt, 3), tau)
+
+
 def neardup_pairs_char5(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
     """Near-duplicate pairs by exact char-5-gram Jaccard ≥ τ (MinHash-LSH
     candidates, exact verify). Integer set sizes match the SQL oracle."""
+    key = _char5_memo_key(sf_dir, tau)
+    hit = _char5_pairs_memo.get(key)
+    if hit is not None:
+        return hit.copy()
     pairs = lsh_candidate_pairs(sf_dir, "char5")
-    return _verify_jaccard(pairs, sf_dir, "char5", tau)
+    out = _verify_jaccard(pairs, sf_dir, "char5", tau)
+    _char5_pairs_memo.clear()  # keep at most one corpus resident
+    _char5_pairs_memo[key] = out
+    return out.copy()
 
 
 def neardup_pairs_word3(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
@@ -442,7 +578,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
         bucket_rows.map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    out = pairs.drop_duplicates(subset=["id_a", "id_b"])
+    # distributed dedupe (a pair surfaces in up to 8 bands; hamming identical
+    # across copies, so min == the value) — only the final result collects
+    out = _dedupe_int_pairs(pairs, n_parts, agg={"hamming": "min"}).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
