@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assign,
         docdedup,
         entity,
+        geo,
         mlscore,
         multimodal,
         relational,
@@ -56,6 +57,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coalesce_fill": relational.coalesce_fill,
         # entity clustering (disambiguation analog) + model scoring
         "smart_match": assign.smart_match_pairs,
+        # C1 geographic family (synthetic address column, oracle-checked)
+        "country_counts": geo.country_counts,
+        "c1_institutions": geo.c1_institutions,
+        "country_rewrite_flags": geo.country_rewrite_flags,
         "entity_clusters": entity.customer_name_clusters,
         "entity_splits": entity.source_lang_splits,
         "source_classifier": mlscore.source_classifier,
@@ -108,6 +113,8 @@ def _stopword_sql_list() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from bibexpy_ray.pipelines import geo
+
     stop = _stopword_sql_list()
     ep = _CENTS.format(col="l_extendedprice")
     disc = _CENTS.format(col="l_discount")
@@ -148,6 +155,9 @@ def oracle_sql() -> dict[str, str]:
             "c_acctbal < 0 AS imputed "
             "FROM customer LEFT JOIN avgc USING (c_nationkey)"
         ),
+        "country_counts": geo.country_counts_oracle_sql(),
+        "c1_institutions": geo.c1_institutions_oracle_sql(),
+        "country_rewrite_flags": geo.country_rewrite_flags_oracle_sql(),
         "filter_range": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_totalprice >= 1000 AND o_totalprice < 150000 "

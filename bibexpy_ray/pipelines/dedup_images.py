@@ -396,6 +396,7 @@ def dedup_images(
             # (measured 5x slower at 8 CPUs); pairs are ids-only — cheap to pin
             .materialize()
         )
+        _lap("s_cand_lsh")
         if cfg.substring_pass:
             # suffix-array containment pass (Stage-4 feeder for contained
             # captions whose Jaccard/prefix signals are too weak — the
@@ -423,6 +424,7 @@ def dedup_images(
                 .map_batches(to_uid_pairs, batch_format="pandas")
                 .materialize()
             )
+            _lap("s_cand_contain")
             pairs = pairs.union(contained)
         # a pair appears in many buckets: dedupe on (id_a, id_b)
         return dedupe_pairs(pairs, n_coarse)
@@ -457,6 +459,7 @@ def dedup_images(
                 if c != "_uid"
             }
             feat_ref = ray.put((uids, cols))
+            _lap("s_verify_bcast_build")
 
             def join_verify(batch: pd.DataFrame) -> pd.DataFrame:
                 suids, scols = ray.get(feat_ref)
@@ -517,7 +520,8 @@ def dedup_images(
             concurrency=_default_concurrency(),
         )
 
-    verified = checkpoint("verified", verify_stage)
+    verified = checkpoint("verified", verify_stage).materialize()
+    _lap("s_verify_exec")
     verified_pd = verified.to_pandas()
     _lap("s_verify_collect")
     borderline = verified_pd[verified_pd["stage"] == "5_borderline"].reset_index(drop=True)

@@ -1,0 +1,112 @@
+"""Apply-rewrite stage: broadcast variant→canonical substitution over a corpus.
+
+The reference's ``apply_clusters`` / ``apply_splits``
+(/root/reference/apps/api/services/disambiguation/pipeline.py:721-975,
+semantics reimplemented): a proposal set (variant → canonical, from
+country_blocks / org_rollup_blocks / entity clusters) is applied to every
+record's field with structure-preserving, whitespace/case-tolerant
+substitution, counting changed rows, with an optional pre-apply snapshot of
+the untouched column for restore.
+
+Ray-Data-first: the mapping is a small side — ``ray.put`` once, read inside
+every ``map_batches`` task (never re-shipped per batch); the corpus streams
+through one vectorized-scalar pass; the changed count is a partial sum
+aggregated from per-batch counters, not a driver scan. Idempotence: applying
+the same mapping twice changes nothing (canonical forms map to themselves or
+are absent from the variant keys) — tested propose → apply → re-propose.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Literal
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from bibexpy_ray.functions import geo
+
+Kind = Literal["country", "affiliation", "org", "exact"]
+
+_APPLY_FN: dict[str, Callable[[str, dict], str]] = {
+    "country": geo.replace_country_in_c1,
+    "affiliation": geo.replace_affiliation_in_c1,
+    "org": geo.replace_org_in_c1,
+}
+
+
+def _exact_replace(value: str, mapping: dict) -> str:
+    """Whole-value whitespace/case-tolerant replacement (entity apply_clusters
+    over plain mention columns, pipeline.py:721-820 analog)."""
+    return mapping.get(geo._ws_lower(value), value)
+
+
+def apply_rewrite(
+    ds: rd.Dataset,
+    col: str,
+    variant_to_canonical: dict[str, str],
+    kind: Kind = "exact",
+    snapshot_col: str | None = None,
+) -> tuple[rd.Dataset, dict]:
+    """Rewrite ``col`` with the proposal mapping; return (dataset, metrics).
+
+    metrics: {"changed_rows": n, "total_rows": n}. When ``snapshot_col`` is
+    given the pre-apply value is preserved in that column (the reference's
+    snapshot-before-apply, restorable by renaming back).
+    """
+    fn = _exact_replace if kind == "exact" else _APPLY_FN[kind]
+    # lowercase keys once here; per-kind functions normalize their own probes
+    mapping = {str(k).lower(): v for k, v in variant_to_canonical.items()}
+    map_ref = ray.put(mapping)
+
+    def apply_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        vals = batch[col]
+        new = [fn(v, m) for v in vals]
+        out = batch.copy()
+        if snapshot_col:
+            out[snapshot_col] = vals
+        out[col] = new
+        out["_changed"] = np.array(
+            [a != b for a, b in zip(vals, new)], dtype=bool
+        )
+        return out
+
+    rewritten = ds.map_batches(apply_batch, batch_format="pandas").materialize()
+    changed = int(
+        rewritten.map_batches(
+            lambda df: pd.DataFrame({"c": [int(df["_changed"].sum())]}),
+            batch_format="pandas",
+        ).sum("c")
+        or 0
+    )
+    total = rewritten.count()
+    out = rewritten.map_batches(
+        lambda df: df.drop(columns=["_changed"]), batch_format="pandas"
+    )
+    return out, {"changed_rows": changed, "total_rows": total}
+
+
+def country_mapping_from_blocks(blocks: pd.DataFrame) -> dict[str, str]:
+    """Tier-1 country proposals → {variant_lower: canonical} apply map."""
+    mapping: dict[str, str] = {}
+    for t in blocks.itertuples(index=False):
+        if int(t.tier) != 1 or not t.canonical_name:
+            continue
+        for v in str(t.variants).split("; "):
+            if v:
+                mapping[v.lower()] = t.canonical_name
+    return mapping
+
+
+def org_mapping_from_blocks(blocks: pd.DataFrame) -> dict[str, str]:
+    """Tier-1 org-rollup proposals → {full-address variant: parent} map."""
+    mapping: dict[str, str] = {}
+    for t in blocks.itertuples(index=False):
+        if int(t.tier) != 1 or not t.canonical_name:
+            continue
+        for v in str(t.variants).split("; "):
+            if v:
+                mapping[v] = t.canonical_name
+    return mapping

@@ -39,7 +39,7 @@ from bibexpy_ray.config import (
     borderline_confidence,
 )
 from bibexpy_ray.functions.hashing import hamming64
-from bibexpy_ray.functions.similarity import jaro_winkler
+from bibexpy_ray.functions.similarity import jaro_floor_mask, jaro_winkler
 
 #: feature columns each edge side carries into verification
 FEATURE_COLS = ["_norm_caption", "phash", "_authority", "_n_shingles"]
@@ -85,31 +85,57 @@ def verify_edges_batch(batch: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
 
     # Stages 3-5 need both captions non-empty (reference guard :283)
     nonempty = np.array([bool(a) and bool(b) for a, b in zip(cap_a, cap_b)])
-    todo = np.flatnonzero(undecided & nonempty)
+    todo = undecided & nonempty
     ham_ok = ham <= cfg.phash_hamming_tol
-    for i in todo:
+
+    # Jaro-Winkler, cheap-first: equal captions are 1.0 outright; remaining
+    # pairs pass through the sound DuckDB jaro lower-bound prune
+    # (similarity.jaro_floor_mask) — only pairs that can still reach the
+    # borderline floor pay the exact scalar call. Pruned pairs keep sim=NaN
+    # (provably < sim_borderline_low, so stages 3/5 are impossible for them);
+    # stage-4 rows matched below get their exact sim backfilled.
+    eq = np.zeros(n, dtype=bool)
+    ti = np.flatnonzero(todo)
+    eq[ti] = np.array([cap_a[i] == cap_b[i] for i in ti], dtype=bool)
+    sim[todo & eq] = 1.0
+    rest = np.flatnonzero(todo & ~eq)
+    if rest.size:
+        maybe = jaro_floor_mask(
+            cap_a[rest], cap_b[rest], cfg.sim_borderline_low
+        )
+        for i in rest[maybe]:
+            sim[i] = jaro_winkler(cap_a[i], cap_b[i])
+
+    with np.errstate(invalid="ignore"):
+        s3 = todo & ham_ok & (sim >= cfg.sim_exact)
+    stage[s3] = "3_caption_sim"
+    conf[s3] = CONF_STAGE3
+
+    # Stage 4: containment (checked before borderline, like the reference's
+    # journal+vol+page stage precedes the borderline band)
+    for i in np.flatnonzero(todo & ~s3 & ham_ok):
         a, b = cap_a[i], cap_b[i]
-        jw = 1.0 if a == b else jaro_winkler(a, b)
-        sim[i] = jw
-        if jw >= cfg.sim_exact and ham_ok[i]:
-            stage[i] = "3_caption_sim"
-            conf[i] = CONF_STAGE3
-            continue
-        # Stage 4: containment (checked before borderline, like the reference's
-        # journal+vol+page stage precedes the borderline band)
         short, long_ = (a, b) if len(a) <= len(b) else (b, a)
         if (
             len(short) >= cfg.contained_min_chars
             and len(short) < len(long_)
             and short in long_
-            and ham_ok[i]
         ):
             stage[i] = "4_contained"
             conf[i] = CONF_STAGE4
-            continue
-        if cfg.sim_borderline_low <= jw < cfg.sim_exact:
-            stage[i] = "5_borderline"
-            conf[i] = borderline_confidence(jw)
+            if np.isnan(sim[i]):  # audit surface carries the exact value
+                sim[i] = jaro_winkler(a, b)
+
+    with np.errstate(invalid="ignore"):
+        s5 = (
+            todo
+            & (stage == "")
+            & (sim >= cfg.sim_borderline_low)
+            & (sim < cfg.sim_exact)
+        )
+    for i in np.flatnonzero(s5):
+        stage[i] = "5_borderline"
+        conf[i] = borderline_confidence(sim[i])
 
     matched = stage != ""
     return pd.DataFrame(

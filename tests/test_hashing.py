@@ -105,3 +105,105 @@ def test_hamming64():
     b = np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
     assert H.hamming64(a, b)[0] == 64
     assert H.hamming64(a, a)[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# similarity kernels: bit-parallel Jaro parity + sound DuckDB prune bound
+# ---------------------------------------------------------------------------
+
+
+def _jaro_textbook(s1, s2):
+    """Direct double-loop Jaro (the reference formulation,
+    /root/reference/apps/api/services/disambiguation/similarity.py:27-60) —
+    kept here as the parity oracle for the bit-parallel implementation."""
+    if s1 == s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    len1, len2 = len(s1), len(s2)
+    md = max(len1, len2) // 2 - 1
+    if md < 0:
+        md = 0
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - md), min(i + md + 1, len2)):
+            if m2[j] or s2[j] != c:
+                continue
+            m1[i] = m2[j] = True
+            matches += 1
+            break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if not m1[i]:
+            continue
+        while not m2[k]:
+            k += 1
+        if s1[i] != s2[k]:
+            t += 1
+        k += 1
+    return (matches / len1 + matches / len2 + (matches - t / 2) / matches) / 3
+
+
+def _random_pairs(n, seed):
+    import random
+    import string
+
+    rng = random.Random(seed)
+    vocab = [
+        "".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 9)))
+        for _ in range(200)
+    ]
+    pairs = []
+    for i in range(n):
+        a = " ".join(rng.choices(vocab, k=rng.randint(0, 15)))
+        r = i % 4
+        if r == 0:
+            toks = a.split()
+            rng.shuffle(toks)
+            b = " ".join(toks)
+        elif r == 1:
+            b = a
+        elif r == 2:
+            b = a[rng.randint(0, max(1, len(a) // 2)):]
+        else:
+            b = " ".join(rng.choices(vocab, k=rng.randint(0, 15)))
+        pairs.append((a, b))
+    pairs += [("", ""), ("a", ""), ("", "b"), ("ab", "ba"),
+              ("dwayne", "duane"), ("martha", "marhta")]
+    return pairs
+
+
+def test_jaro_bitparallel_matches_textbook():
+    from bibexpy_ray.functions.similarity import jaro
+
+    for a, b in _random_pairs(3000, seed=5):
+        assert abs(jaro(a, b) - _jaro_textbook(a, b)) < 1e-12, (a, b)
+
+
+def test_duck_jaro_upper_bounds_ours():
+    """jaro_floor_mask soundness: DuckDB jaro >= ours (one-sided), so a pair
+    pruned by the floor can never reach the borderline threshold."""
+    import pandas as pd
+
+    duckdb = pytest.importorskip("duckdb")
+    from bibexpy_ray.functions.similarity import jaro, jaro_floor_mask, jaro_winkler
+
+    pairs = [(a, b) for a, b in _random_pairs(4000, seed=6) if a and b]
+    con = duckdb.connect()
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    duck = con.execute(
+        "select jaro_similarity(a, b) as j from df"
+    ).df()["j"].to_numpy()
+    ours = np.array([jaro(a, b) for a, b in pairs])
+    assert (duck - ours).min() > -1e-9
+
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    mask = jaro_floor_mask(a, b, 0.8)
+    jw = np.array([jaro_winkler(x, y) for x, y in pairs])
+    assert not ((jw >= 0.8) & ~mask).any(), "pruned pair reached the threshold"
