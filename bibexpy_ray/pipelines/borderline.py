@@ -80,10 +80,21 @@ def apply_decisions(result: DedupResult, decisions: dict[str, str]) -> DedupResu
 
     # clusters table rebuilt lazily by callers that need survivor selection;
     # here we carry the updated map + queue (the audit trail is append-only)
+    import numpy as np
+    import ray.data as rd
+
+    from bibexpy_ray.pipelines.dedup_images import ClusterLabels
+
+    labels = ClusterLabels(
+        members=np.array(list(cluster_map.keys()), dtype=object),
+        canon=np.array(list(cluster_map.values()), dtype=object),
+    )
     return DedupResult(
-        clusters=result.clusters,
-        cluster_map=cluster_map,
-        borderline=remaining,
-        audit=result.audit,
+        clusters_ds=result.clusters_ds,
+        labels=labels,
+        borderline_ds=rd.from_pandas(remaining)
+        if len(remaining)
+        else result.borderline_ds.limit(0),
+        audit_ds=result.audit_ds,
         metrics={**result.metrics, "accepted_borderline": len(accepted)},
     )

@@ -55,26 +55,176 @@ FEATURE_INPUT_COLS = ["image_id", "caption", "phash", "fmt"]
 BROADCAST_LIMIT = 2_000_000
 
 
+class ClusterLabels:
+    """Member → cluster mapping with a scale-dependent physical form.
+
+    Below ``LABEL_BROADCAST_LIMIT`` members: uid-sorted numpy arrays in the
+    object store (``ray.put`` once; vectorized searchsorted probes with an
+    exact-match guard — never a Python dict of every member). Above it: a
+    labels Dataset joined to consumers by hash partition (the VERDICT scale
+    path — no driver-resident structure of unbounded size).
+    """
+
+    def __init__(
+        self,
+        members: np.ndarray | None = None,
+        canon: np.ndarray | None = None,
+        labels_ds: rd.Dataset | None = None,
+    ):
+        self._labels_ds = labels_ds
+        self._ref = None
+        if members is not None:
+            from bibexpy_ray.functions.hashing import text_hash_u64
+
+            if len(members) == 0:
+                self._uids = np.empty(0, dtype=np.uint64)
+                self._members = np.empty(0, dtype=object)
+                self._canon = np.empty(0, dtype=object)
+            else:
+                uids = text_hash_u64(list(members))
+                order = np.argsort(uids)
+                self._uids = uids[order]
+                self._members = np.asarray(members, dtype=object)[order]
+                self._canon = np.asarray(canon, dtype=object)[order]
+        else:
+            self._uids = None
+
+    @property
+    def is_broadcast(self) -> bool:
+        return self._uids is not None
+
+    def __len__(self) -> int:
+        if self.is_broadcast:
+            return len(self._uids)
+        return self._labels_ds.count() if self._labels_ds is not None else 0
+
+    def as_dict(self) -> dict[str, str]:
+        """Driver-side {member: cluster} (test/small-result surface only)."""
+        if self.is_broadcast:
+            return dict(zip(self._members, self._canon))
+        if self._labels_ds is None:
+            return {}
+        pdf = self._labels_ds.to_pandas()
+        return dict(zip(pdf["image_id"], pdf["cluster_id"]))
+
+    def to_dataset(self) -> rd.Dataset | None:
+        if self._labels_ds is not None:
+            return self._labels_ds
+        if self._uids is None or len(self._uids) == 0:
+            return None
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"image_id": self._members, "cluster_id": self._canon}
+            )
+        )
+
+    def _broadcast_ref(self):
+        if self._ref is None:
+            self._ref = ray.put((self._uids, self._members, self._canon))
+        return self._ref
+
+    def attach(self, ds: rd.Dataset, members_only: bool = False) -> rd.Dataset:
+        """Append ``cluster_id`` (non-members map to their own id); with
+        ``members_only`` return only member rows instead."""
+        if self.is_broadcast:
+            from bibexpy_ray.functions.hashing import text_hash_u64
+
+            ref = self._broadcast_ref()
+
+            def probe(batch: pd.DataFrame) -> pd.DataFrame:
+                uids, members, canon = ray.get(ref)
+                ids = batch["image_id"].to_numpy(dtype=object)
+                if len(uids) == 0:
+                    hit = np.zeros(len(ids), dtype=bool)
+                    cl = ids
+                else:
+                    h = text_hash_u64(list(ids))
+                    pos = np.minimum(np.searchsorted(uids, h), len(uids) - 1)
+                    # exact-match guard: uid hit AND the member string matches
+                    # (hash collisions / drift must not mislabel a row)
+                    hit = (uids[pos] == h) & (members[pos] == ids)
+                    cl = np.where(hit, canon[pos], ids)
+                out = batch.copy()
+                out["cluster_id"] = cl
+                if members_only:
+                    return out[hit]
+                return out
+
+            return ds.map_batches(probe, batch_format="pandas")
+        labels = self._labels_ds
+        n_parts = max(8, len(self) // 500_000) if labels is not None else 8
+        if labels is None:
+            if members_only:
+                return ds.limit(0)
+            return ds.map_batches(
+                lambda df: df.assign(cluster_id=df["image_id"]),
+                batch_format="pandas",
+            )
+        if members_only:
+            return ds.join(labels, "inner", n_parts, on=("image_id",))
+        joined = ds.join(labels, "left_outer", n_parts, on=("image_id",))
+        return joined.map_batches(
+            lambda df: df.assign(
+                cluster_id=df["cluster_id"].fillna(df["image_id"])
+            ),
+            batch_format="pandas",
+        )
+
+
 @dataclass
 class DedupResult:
-    clusters: pd.DataFrame          # cluster_id, survivor_id, cluster_size, members
-    cluster_map: dict[str, str]     # member id -> cluster id (only ids in size>=2 clusters)
-    borderline: pd.DataFrame        # id_a, id_b, confidence, similarity
-    audit: pd.DataFrame             # verified edges (all stages)
+    """Flagship output. The heavy surfaces (clusters, borderline, audit) are
+    Datasets — nothing of unbounded size lives on the driver; the pandas/dict
+    properties below are lazy conveniences for tests and small results."""
+
+    clusters_ds: rd.Dataset         # cluster_id, survivor_id, cluster_size, members
+    labels: ClusterLabels           # member id -> cluster id (size>=2 clusters)
+    borderline_ds: rd.Dataset       # id_a, id_b, confidence, similarity
+    audit_ds: rd.Dataset            # verified edges (all stages)
     metrics: dict
 
+    def __post_init__(self):
+        self._cache: dict[str, object] = {}
+
+    def _memo(self, key: str, fn):
+        if key not in self._cache:
+            self._cache[key] = fn()
+        return self._cache[key]
+
+    @property
+    def clusters(self) -> pd.DataFrame:
+        return self._memo(
+            "clusters",
+            lambda: self.clusters_ds.to_pandas()
+            .sort_values("cluster_id")
+            .reset_index(drop=True),
+        )
+
+    @property
+    def cluster_map(self) -> dict[str, str]:
+        return self._memo("cluster_map", self.labels.as_dict)
+
+    @property
+    def borderline(self) -> pd.DataFrame:
+        return self._memo(
+            "borderline",
+            lambda: self.borderline_ds.to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True),
+        )
+
+    @property
+    def audit(self) -> pd.DataFrame:
+        return self._memo(
+            "audit",
+            lambda: self.audit_ds.to_pandas()
+            .sort_values(["id_a", "id_b", "stage"])
+            .reset_index(drop=True),
+        )
+
     def assign_clusters(self, ds: rd.Dataset) -> rd.Dataset:
-        """Append cluster_id to a dataset of IMAGE_SCHEMA rows (broadcast map)."""
-        ref = ray.put(self.cluster_map)
-
-        def attach(batch: pd.DataFrame) -> pd.DataFrame:
-            cmap = ray.get(ref)
-            batch["cluster_id"] = [
-                cmap.get(i, i) for i in batch["image_id"]
-            ]
-            return batch
-
-        return ds.map_batches(attach, batch_format="pandas")
+        """Append cluster_id to a dataset of IMAGE_SCHEMA rows."""
+        return self.labels.attach(ds)
 
     def merged_records(
         self,
@@ -87,53 +237,38 @@ class DedupResult:
         smart_merger.py:388-458). Returns (merged_records, conflict_log).
 
         Metadata only — the ``bytes`` column never enters this reduce; callers
-        re-attach payloads by survivor id from the canonical dataset.
+        re-attach payloads by survivor id from the canonical dataset. Each
+        merged row carries ITS OWN cluster's conflict log as a JSON column
+        (schema-stable per row; no cross-row smuggling), exploded driver-side.
         """
+        import json as _json
+
         from bibexpy_ray.functions.fieldmerge import merge_record
 
-        cmap = self.cluster_map
-        if not cmap:
+        if len(self.labels) == 0:
             return pd.DataFrame(), pd.DataFrame()
-        ref = ray.put(cmap)
         meta_cols = [c for c in ds.schema().names if c != "bytes"]
-
-        def members_of(batch: pd.DataFrame) -> pd.DataFrame:
-            cm = ray.get(ref)
-            sub = batch[batch["image_id"].isin(cm.keys())].copy()
-            sub["cluster_id"] = [cm[i] for i in sub["image_id"]]
-            return sub
+        members = self.labels.attach(
+            ds.select_columns(meta_cols), members_only=True
+        )
 
         def merge_part(part: pd.DataFrame) -> pd.DataFrame:
-            out_rows, conflict_rows = [], []
+            out_rows = []
             for cid, g in part.groupby("cluster_id"):
                 rows = g.drop(columns=["cluster_id"]).sort_values("image_id")
                 merged, conflicts = merge_record(rows.to_dict("records"), policies)
                 merged["cluster_id"] = cid
+                merged["_conflicts"] = _json.dumps(
+                    [{**c, "cluster_id": cid} for c in conflicts]
+                )
                 out_rows.append(merged)
-                for c in conflicts:
-                    conflict_rows.append({**c, "cluster_id": cid})
-            res = pd.DataFrame(out_rows)
-            res.attrs["conflicts"] = conflict_rows
-            res["_conflicts"] = [
-                "" for _ in range(len(res))
-            ]  # placeholder keeps schema stable
-            import json as _json
-
-            if len(res):
-                res.loc[res.index[0], "_conflicts"] = _json.dumps(conflict_rows)
-            return res
+            return pd.DataFrame(out_rows)
 
         merged_pd = (
-            ds.select_columns(meta_cols)
-            .map_batches(members_of, batch_format="pandas")
-            .groupby("cluster_id")
-            .map_groups(
-                lambda g: merge_part(g), batch_format="pandas"
-            )
+            members.groupby("cluster_id")
+            .map_groups(merge_part, batch_format="pandas")
             .to_pandas()
         )
-        import json as _json
-
         conflicts = [
             row
             for blob in merged_pd["_conflicts"]
@@ -149,23 +284,59 @@ class DedupResult:
     def canonical(self, ds: rd.Dataset) -> rd.Dataset:
         """Survivor rows only (losers filtered out), with cluster_id attached.
 
-        The loser set (dup-cluster members minus survivors) is small relative to
-        the corpus, so it broadcasts; the full dataset streams through a single
-        vectorized filter — no shuffle of image bytes.
+        Losers = cluster members minus survivors. Below the broadcast limit
+        they filter via uid-sorted arrays (one object-store copy, vectorized
+        searchsorted); at scale via an anti-join against the loser labels —
+        either way the full dataset streams through one pass and image bytes
+        never shuffle.
         """
-        survivors = set(self.clusters["survivor_id"])
-        losers = {m for m, c in self.cluster_map.items() if m not in survivors}
-        cmap = self.cluster_map
-        ref = ray.put((losers, cmap))
+        from bibexpy_ray.functions.hashing import text_hash_u64
 
-        def keep(batch: pd.DataFrame) -> pd.DataFrame:
-            lose, cm = ray.get(ref)
-            mask = ~batch["image_id"].isin(lose)
-            out = batch[mask].copy()
-            out["cluster_id"] = [cm.get(i, i) for i in out["image_id"]]
-            return out
+        if self.labels.is_broadcast:
+            survivors = set(
+                self.clusters_ds.select_columns(["survivor_id"])
+                .to_pandas()["survivor_id"]
+            )
+            losers = np.array(
+                [m for m in self.labels._members if m not in survivors],
+                dtype=object,
+            )
+            luids = np.sort(text_hash_u64(list(losers))) if len(losers) else None
 
-        return ds.map_batches(keep, batch_format="pandas")
+            def keep(batch: pd.DataFrame) -> pd.DataFrame:
+                if luids is None:
+                    return batch
+                ids = batch["image_id"].to_numpy(dtype=object)
+                h = text_hash_u64(list(ids))
+                pos = np.minimum(np.searchsorted(luids, h), len(luids) - 1)
+                return batch[luids[pos] != h]
+
+            return self.labels.attach(
+                ds.map_batches(keep, batch_format="pandas")
+            )
+        # scale path: anti-join against loser labels (members minus survivors)
+        survivors_ds = self.clusters_ds.select_columns(["survivor_id"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"image_id": df["survivor_id"], "_surv": True}
+            ),
+            batch_format="pandas",
+        )
+        labels_ds = self.labels.to_dataset()
+        n_parts = max(8, len(self.labels) // 500_000)
+        losers_ds = labels_ds.join(
+            survivors_ds, "left_outer", n_parts, on=("image_id",)
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"image_id": df.loc[df["_surv"].isna(), "image_id"], "_lose": True}
+            ),
+            batch_format="pandas",
+        )
+        joined = ds.join(losers_ds, "left_outer", n_parts, on=("image_id",))
+        kept = joined.map_batches(
+            lambda df: df[df["_lose"].isna()].drop(columns=["_lose"]),
+            batch_format="pandas",
+        )
+        return self.labels.attach(kept)
 
 
 def _exact_group_edges(group: pd.DataFrame) -> pd.DataFrame:
@@ -268,14 +439,30 @@ def dedup_images(
         t_phase = _time.time()
 
     if ds.count() == 0:
-        empty = pd.DataFrame(
-            {"cluster_id": [], "survivor_id": [], "cluster_size": [], "members": []}
+        empty_clusters = rd.from_pandas(
+            pd.DataFrame(
+                {"cluster_id": pd.Series([], dtype=object),
+                 "survivor_id": pd.Series([], dtype=object),
+                 "cluster_size": pd.Series([], dtype=np.int64),
+                 "members": pd.Series([], dtype=object)}
+            )
+        )
+        empty_edges = rd.from_pandas(
+            pd.DataFrame(
+                {"id_a": pd.Series([], dtype=object),
+                 "id_b": pd.Series([], dtype=object),
+                 "stage": pd.Series([], dtype=object),
+                 "confidence": pd.Series([], dtype=np.float64),
+                 "similarity": pd.Series([], dtype=np.float64)}
+            )
         )
         return DedupResult(
-            clusters=empty,
-            cluster_map={},
-            borderline=pd.DataFrame({"id_a": [], "id_b": []}),
-            audit=pd.DataFrame({"id_a": [], "id_b": [], "stage": []}),
+            clusters_ds=empty_clusters,
+            labels=ClusterLabels(
+                members=np.empty(0, dtype=object), canon=np.empty(0, dtype=object)
+            ),
+            borderline_ds=empty_edges,
+            audit_ds=empty_edges,
             metrics={"exact_edges": 0, "candidate_edges": 0, "verified_auto": 0,
                      "borderline": 0, "clusters": 0},
         )
@@ -445,36 +632,45 @@ def dedup_images(
         n_reps = features.count() - len(exact_losers)
         edge_cols = edges_raw.select_columns(["id_a", "id_b"])
         if n_reps <= BROADCAST_LIMIT:
-            # broadcast lookup as uid-sorted numpy columns: searchsorted probes
-            # are vectorized and the build avoids a driver-side pandas index
+            # broadcast lookup as a uid-SORTED ARROW table: Arrow objects in
+            # the object store are zero-copy-mapped per node (an object-dtype
+            # numpy broadcast would re-deserialize every python string in
+            # every task); probes are vectorized searchsorted over the uid
+            # column, and only probed rows ever materialize to python
             feat_tbl = pa.concat_tables(
                 ray.get(reps.select_columns(feat_cols).to_arrow_refs())
             ).combine_chunks()
             uids = feat_tbl.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
             order = np.argsort(uids)
-            uids = uids[order]
-            cols = {
-                c: feat_tbl.column(c).to_numpy(zero_copy_only=False)[order]
-                for c in feat_cols
-                if c != "_uid"
-            }
-            feat_ref = ray.put((uids, cols))
+            feat_tbl = feat_tbl.take(pa.array(order)).combine_chunks()
+            feat_ref = ray.put(feat_tbl)
             _lap("s_verify_bcast_build")
 
             def join_verify(batch: pd.DataFrame) -> pd.DataFrame:
-                suids, scols = ray.get(feat_ref)
-                pa_idx = np.searchsorted(suids, batch["id_a"].to_numpy(dtype=np.uint64))
-                pb_idx = np.searchsorted(suids, batch["id_b"].to_numpy(dtype=np.uint64))
+                tbl = ray.get(feat_ref)
+                suids = tbl.column("_uid").to_numpy(zero_copy_only=False)
+                a = batch["id_a"].to_numpy(dtype=np.uint64)
+                b = batch["id_b"].to_numpy(dtype=np.uint64)
+                pa_idx = np.minimum(np.searchsorted(suids, a), len(suids) - 1)
+                pb_idx = np.minimum(np.searchsorted(suids, b), len(suids) - 1)
+                # exact-match guard: a probe uid absent from the feature table
+                # (resume drift / refactor) must drop, not silently join the
+                # wrong row's features into verification
+                ok = (suids[pa_idx] == a) & (suids[pb_idx] == b)
+                if not ok.all():
+                    pa_idx, pb_idx = pa_idx[ok], pb_idx[ok]
+                ta = tbl.take(pa.array(pa_idx))
+                tb = tbl.take(pa.array(pb_idx))
                 joined = pd.DataFrame(
                     {
-                        "id_a": scols["image_id"][pa_idx],
-                        "id_b": scols["image_id"][pb_idx],
-                        "_norm_caption_a": scols["_norm_caption"][pa_idx],
-                        "_norm_caption_b": scols["_norm_caption"][pb_idx],
-                        "phash_a": scols["phash"][pa_idx],
-                        "phash_b": scols["phash"][pb_idx],
-                        "_authority_a": scols["_authority"][pa_idx],
-                        "_authority_b": scols["_authority"][pb_idx],
+                        "id_a": ta.column("image_id").to_numpy(zero_copy_only=False),
+                        "id_b": tb.column("image_id").to_numpy(zero_copy_only=False),
+                        "_norm_caption_a": ta.column("_norm_caption").to_numpy(zero_copy_only=False),
+                        "_norm_caption_b": tb.column("_norm_caption").to_numpy(zero_copy_only=False),
+                        "phash_a": ta.column("phash").to_numpy(zero_copy_only=False),
+                        "phash_b": tb.column("phash").to_numpy(zero_copy_only=False),
+                        "_authority_a": ta.column("_authority").to_numpy(zero_copy_only=False),
+                        "_authority_b": tb.column("_authority").to_numpy(zero_copy_only=False),
                     }
                 )
                 return EdgeVerifier(cfg)(joined)
@@ -520,84 +716,96 @@ def dedup_images(
             concurrency=_default_concurrency(),
         )
 
+    # verified stays a DATASET: pinned in the object store, consumed by the
+    # borderline/auto filters below — never collected whole to the driver
     verified = checkpoint("verified", verify_stage).materialize()
     _lap("s_verify_exec")
-    verified_pd = verified.to_pandas()
-    _lap("s_verify_collect")
-    borderline = verified_pd[verified_pd["stage"] == "5_borderline"].reset_index(drop=True)
-    auto = verified_pd[
-        (verified_pd["stage"] != "5_borderline") & (verified_pd["confidence"] >= 0.9)
-    ]
+    borderline_ds = verified.map_batches(
+        lambda df: df[df["stage"] == "5_borderline"], batch_format="pandas"
+    )
+    auto_edges_ds = verified.map_batches(
+        lambda df: df.loc[
+            (df["stage"] != "5_borderline") & (df["confidence"] >= 0.9),
+            ["id_a", "id_b"],
+        ],
+        batch_format="pandas",
+    )
     metrics["candidate_edges"] = int(edges_raw.count())
-    metrics["verified_auto"] = int(len(auto))
-    metrics["borderline"] = int(len(borderline))
-    t_phase = _time.time()
+    metrics["borderline"] = int(borderline_ds.count())
+    _lap("s_verify_split")
 
     # ---- connected components ----------------------------------------------
-    all_edges = list(zip(auto["id_a"], auto["id_b"]))
-    if len(exact_pd):
-        all_edges += list(zip(exact_pd["id_a"], exact_pd["id_b"]))
-    if len(all_edges) > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
-        # distributed min-label propagation over the edge Dataset; verified
-        # equivalent to the driver union-find in tests/test_unionfind.py
+    n_auto = int(auto_edges_ds.count())
+    metrics["verified_auto"] = n_auto
+    n_edges = n_auto + len(exact_pd)
+    if n_edges > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
+        # distributed min-label propagation straight over the edge DATASET
+        # (union with the exact pre-collapse edges); equivalence with the
+        # driver union-find is proven in tests/test_unionfind.py
         from bibexpy_ray.stages.unionfind import clusters_distributed
 
-        edges_ds = rd.from_pandas(
-            pd.DataFrame({"id_a": [a for a, _ in all_edges],
-                          "id_b": [b for _, b in all_edges]})
+        edges_ds = auto_edges_ds
+        if len(exact_pd):
+            edges_ds = edges_ds.union(
+                rd.from_pandas(exact_pd[["id_a", "id_b"]])
+            )
+        labels_ds = clusters_distributed(edges_ds).materialize()
+        labels = ClusterLabels(labels_ds=labels_ds)
+        metrics["clusters"] = int(
+            labels_ds.groupby("cluster_id").count().count()
         )
-        labels = clusters_distributed(edges_ds).to_pandas()
-        cluster_map = dict(zip(labels["image_id"], labels["cluster_id"]))
     else:
+        # ids-only collect (bounded by the dup rate, ~16 B + id chars per
+        # edge), then driver union-find — the measured-fastest path at bench
+        # scale; above the cap nothing transits the driver
+        auto_pd = auto_edges_ds.to_pandas()
+        all_edges = list(zip(auto_pd["id_a"], auto_pd["id_b"]))
+        if len(exact_pd):
+            all_edges += list(zip(exact_pd["id_a"], exact_pd["id_b"]))
         cluster_map = clusters_driver(all_edges)
-    metrics["clusters"] = len(set(cluster_map.values()))
+        members = np.fromiter(cluster_map.keys(), dtype=object, count=len(cluster_map))
+        canon = np.fromiter(cluster_map.values(), dtype=object, count=len(cluster_map))
+        labels = ClusterLabels(members=members, canon=canon)
+        metrics["clusters"] = len(set(cluster_map.values()))
     _lap("s_unionfind")
 
     # ---- survivor selection -------------------------------------------------
-    if cluster_map:
-        cmap_ref = ray.put(cluster_map)
+    from bibexpy_ray.functions.hashing import text_hash_u64
+    from bibexpy_ray.stages.survivor import survivors_partition
 
-        def members_of(batch: pd.DataFrame) -> pd.DataFrame:
-            cm = ray.get(cmap_ref)
-            sub = batch[batch["image_id"].isin(cm.keys())].copy()
-            sub["cluster_id"] = [cm[i] for i in sub["image_id"]]
-            return sub[["cluster_id", "image_id", "fmt", "caption"]]
+    def add_cluster_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = text_hash_u64(df["cluster_id"].tolist())
+        df = df.copy()
+        df["_part"] = (h % np.uint64(n_coarse)).astype(np.int32)
+        return df
 
-        from bibexpy_ray.functions.hashing import text_hash_u64
-        from bibexpy_ray.stages.survivor import survivors_partition
-
-        def add_cluster_part(df: pd.DataFrame) -> pd.DataFrame:
-            h = text_hash_u64(df["cluster_id"].tolist())
-            df["_part"] = (h % np.uint64(n_coarse)).astype(np.int32)
-            return df
-
-        # coarse hash partition on cluster_id: whole clusters colocate, the
-        # per-partition reduce is vectorized over many clusters at once
-        clusters = (
-            features.select_columns(["image_id", "fmt", "caption"])
-            .map_batches(members_of, batch_format="pandas")
-            .map_batches(add_cluster_part, batch_format="pandas")
-            .groupby("_part")
-            .map_groups(
-                lambda df: survivors_partition(df.drop(columns=["_part"])),
-                batch_format="pandas",
-            )
-            .to_pandas()
+    # coarse hash partition on cluster_id: whole clusters colocate, the
+    # per-partition reduce is vectorized over many clusters at once
+    members_ds = labels.attach(
+        features.select_columns(["image_id", "fmt", "caption"]),
+        members_only=True,
+    )
+    clusters_ds = (
+        members_ds.map_batches(add_cluster_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(
+            lambda df: survivors_partition(
+                df[["cluster_id", "image_id", "fmt", "caption"]]
+            ),
+            batch_format="pandas",
         )
-    else:
-        clusters = pd.DataFrame(
-            {"cluster_id": [], "survivor_id": [], "cluster_size": [], "members": []}
-        )
+        .materialize()
+    )
 
     _lap("s_survivor")
     if rdir is not None:
         rdir.mark_done("result", metrics)
 
     return DedupResult(
-        clusters=clusters,
-        cluster_map=cluster_map,
-        borderline=borderline,
-        audit=verified_pd,
+        clusters_ds=clusters_ds,
+        labels=labels,
+        borderline_ds=borderline_ds,
+        audit_ds=verified,
         metrics=metrics,
     )
 

@@ -80,11 +80,13 @@ def test_authority_conflict_vetoes_accept(result):
     fake.iloc[-1, fake.columns.get_loc("id_b")] = b
     from bibexpy_ray.pipelines.dedup_images import DedupResult
 
+    import ray.data as rd2
+
     doctored = DedupResult(
-        clusters=result.clusters,
-        cluster_map=result.cluster_map,
-        borderline=fake,
-        audit=result.audit,
+        clusters_ds=result.clusters_ds,
+        labels=result.labels,
+        borderline_ds=rd2.from_pandas(fake),
+        audit_ds=result.audit_ds,
         metrics=result.metrics,
     )
     out = apply_decisions(doctored, {pair_key(a, b): "accept"})
