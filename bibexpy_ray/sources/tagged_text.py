@@ -87,10 +87,12 @@ def write_tagged_text(ds: rd.Dataset, out_dir: str, columns: list[str] | None = 
             return pd.DataFrame({"path": pd.Series([], dtype=object),
                                  "rows": pd.Series([], dtype=np.int64)})
         text = format_records(batch)
-        # shard name from content hash: deterministic, idempotent on retry
+        # shard name from the FULL content hash: deterministic, idempotent on
+        # retry, and two batches sharing a 4 KB prefix (duplicate-heavy
+        # corpora) can never collide into one filename
         from bibexpy_ray.functions.hashing import hash_bytes_u64
 
-        name = f"shard-{hash_bytes_u64(text[:4096].encode()):016x}.txt"
+        name = f"shard-{hash_bytes_u64(text.encode()):016x}-{len(batch)}.txt"
         path = os.path.join(out_dir, name)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

@@ -1,26 +1,14 @@
-"""Suffix-array containment pass: unit + integration tests."""
+"""Token-aligned suffix-sort containment pass: unit + integration tests."""
 
-import numpy as np
 import pandas as pd
 import pytest
 
 from bibexpy_ray.config import DedupConfig
 from bibexpy_ray.stages.substring import (
-    _suffix_array,
     containment_candidates,
+    containment_pairs_bucket,
     containment_pairs_partition,
 )
-
-
-def test_suffix_array_matches_naive():
-    rng = np.random.default_rng(7)
-    for _ in range(20):
-        n = int(rng.integers(2, 60))
-        s = rng.integers(0, 5, size=n).astype(np.uint8)
-        sa = _suffix_array(s)
-        b = bytes(s)
-        naive = sorted(range(n), key=lambda i: b[i:])
-        assert list(sa) == naive
 
 
 def _part(ids, texts):
@@ -53,9 +41,65 @@ def test_containment_partition_min_chars():
     assert len(out) == 0  # below contained_min_chars floor
 
 
+def test_containment_bucket_matches_bruteforce():
+    """Bucket result == brute-force containment over captions sharing the token."""
+    import itertools
+    import random
+
+    cfg = DedupConfig()
+    rng = random.Random(3)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "zeta", "theta", "iota"]
+    token = "sharedtok"
+    texts, ids = [], []
+    for i in range(40):
+        base = " ".join(rng.choices(words, k=rng.randint(4, 9)))
+        pos = rng.randint(0, 1)
+        t = f"{token} {base}" if pos else f"{base} {token}"
+        if rng.random() < 0.4 and texts:
+            # embed an existing caption to force containment
+            t = texts[rng.randrange(len(texts))] + " " + " ".join(rng.choices(words, k=2))
+        texts.append(t)
+        ids.append(f"r{i:03d}")
+    # keep only captions containing the token and unique
+    keep = [(i, t) for i, t in zip(ids, texts) if token in t]
+    seen = set()
+    ids2, texts2 = [], []
+    for i, t in keep:
+        if t in seen:
+            continue
+        seen.add(t)
+        ids2.append(i)
+        texts2.append(t)
+    out = containment_pairs_bucket(ids2, texts2, token, cfg)
+    got = set(zip(out["id_a"], out["id_b"]))
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(zip(ids2, texts2), 2):
+        short, long_ = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
+        sid, lid = (ia, ib) if len(ta) <= len(tb) else (ib, ia)
+        if (
+            len(short) >= cfg.contained_min_chars
+            and len(short) < len(long_)
+            and short in long_
+        ):
+            want.add(tuple(sorted((sid, lid))))
+    assert got == want
+
+
+def test_containment_range_cap_reports_drops():
+    cfg = DedupConfig()
+    token = "anchortok"
+    base = f"{token} shared tail of respectable length for matching"
+    ids = [f"r{i:03d}" for i in range(30)]
+    texts = [f"unique{i} {base} extension{i}" for i in range(29)]
+    texts.append(base)  # the pattern contained in all 29 others
+    out = containment_pairs_bucket(ids, texts, token, cfg, range_cap=10)
+    assert len(out) > 0
+    assert (out["dropped"] > 0).any()  # truncation surfaced, not silent
+
+
 def test_containment_candidates_dataset():
     """Mid-string insertion containment — missed by prefix/suffix blocks,
-    caught by the suffix-array pass through the rare-token partitioning."""
+    caught by the token-aligned pass through the rare-token partitioning."""
     import ray.data as rd
 
     cfg = DedupConfig()
