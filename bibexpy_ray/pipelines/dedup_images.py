@@ -737,7 +737,10 @@ def dedup_images(
     _lap("s_verify_split")
 
     # ---- connected components ----------------------------------------------
-    n_auto = int(auto_edges_ds.count())
+    # every non-borderline verified stage carries confidence >= 0.9 (stages
+    # 1-4 = 1.0/0.99/0.95/0.90), so the auto count is arithmetic — no extra
+    # pass over the verified Dataset just to pick the code path
+    n_auto = int(verified.count()) - metrics["borderline"]
     metrics["verified_auto"] = n_auto
     n_edges = n_auto + len(exact_pd)
     if n_edges > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
@@ -758,17 +761,20 @@ def dedup_images(
         )
     else:
         # ids-only collect (bounded by the dup rate, ~16 B + id chars per
-        # edge), then driver union-find — the measured-fastest path at bench
-        # scale; above the cap nothing transits the driver
+        # edge), then vectorized driver connected components — the
+        # measured-fastest path at bench scale; above the cap nothing
+        # transits the driver
+        from bibexpy_ray.stages.unionfind import clusters_driver_arrays
+
         auto_pd = auto_edges_ds.to_pandas()
-        all_edges = list(zip(auto_pd["id_a"], auto_pd["id_b"]))
+        ea = auto_pd["id_a"].to_numpy(dtype=object)
+        eb = auto_pd["id_b"].to_numpy(dtype=object)
         if len(exact_pd):
-            all_edges += list(zip(exact_pd["id_a"], exact_pd["id_b"]))
-        cluster_map = clusters_driver(all_edges)
-        members = np.fromiter(cluster_map.keys(), dtype=object, count=len(cluster_map))
-        canon = np.fromiter(cluster_map.values(), dtype=object, count=len(cluster_map))
+            ea = np.concatenate([ea, exact_pd["id_a"].to_numpy(dtype=object)])
+            eb = np.concatenate([eb, exact_pd["id_b"].to_numpy(dtype=object)])
+        members, canon = clusters_driver_arrays(ea, eb)
         labels = ClusterLabels(members=members, canon=canon)
-        metrics["clusters"] = len(set(cluster_map.values()))
+        metrics["clusters"] = int(len(np.unique(canon)))
     _lap("s_unionfind")
 
     # ---- survivor selection -------------------------------------------------

@@ -258,3 +258,61 @@ def source_lang_splits(sf_dir: str) -> pd.DataFrame:
     split components (the same-spelling/different-field-evidence case)."""
     ds = read_table(sf_dir, "documents", ["source", "lang"])
     return split_proposals(ds, "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Authority-set (ORCID) arbitration — orcid.py:245-261 analog
+# ---------------------------------------------------------------------------
+
+
+def classify_by_authority_sets(id_sets: list[set[str]]) -> str:
+    """Group decision from per-member authority-id sets (the reference's
+    ``classify_by_orcid``, /root/reference/apps/api/services/disambiguation/
+    orcid.py:245-261 — semantics reimplemented):
+
+      'merge'    — every pair of KNOWN sets intersects → same entity
+      'conflict' — any two known sets are disjoint → different entities
+      'unknown'  — fewer than two members carry ids → fall through to the
+                   name/field heuristics (Tier-2 review)
+    """
+    known = [s for s in id_sets if s]
+    if len(known) < 2:
+        return "unknown"
+    for i in range(len(known)):
+        for j in range(i + 1, len(known)):
+            if not (known[i] & known[j]):
+                return "conflict"
+    return "merge"
+
+
+def arbitrate_clusters(
+    clusters: pd.DataFrame,
+    mention_ids: dict[str, set[str]],
+) -> pd.DataFrame:
+    """Apply authority-set arbitration to a cluster table: each cluster row
+    gains an ``authority_decision`` column ('merge' promotes Tier 2 → Tier 1;
+    'conflict' demotes ANY tier to Tier 3/skip — the authoritative id
+    overrides similarity, like the DOI-determinative rule).
+
+    ``clusters``: rows with (cluster_id, members) where members is a
+    '; '-joined mention list; ``mention_ids``: mention → set of authority ids
+    (absent/empty = unknown).
+    """
+    out = clusters.copy()
+    decisions: list[str] = []
+    tiers: list[int] = []
+    for t in out.itertuples(index=False):
+        members = [m for m in str(t.members).split("; ") if m]
+        decision = classify_by_authority_sets(
+            [mention_ids.get(m, set()) for m in members]
+        )
+        decisions.append(decision)
+        tier = int(getattr(t, "tier", 2))
+        if decision == "merge":
+            tier = 1
+        elif decision == "conflict":
+            tier = 3
+        tiers.append(tier)
+    out["authority_decision"] = decisions
+    out["tier"] = tiers
+    return out

@@ -196,60 +196,113 @@ def containment_pairs_partition(part: pd.DataFrame, cfg: DedupConfig) -> pd.Data
     )
 
 
-def containment_candidates(features, cfg: DedupConfig, n_parts: int = 32):
+#: below this row count the caption table broadcasts (zero-copy Arrow, one
+#: copy per node) and ONLY (part, key, token, id) rows shuffle — cutting the
+#: dominant per-row caption payload (~130 B) out of the exchange; above it
+#: captions ride the shuffle (the unbounded-corpus path)
+CAPTION_BROADCAST_LIMIT = 2_000_000
+
+
+def _dedupe_reps(ids: list, texts: list[str]) -> tuple[list, list[str]]:
+    """One representative (min image_id) per distinct caption: equal texts can
+    never strictly contain each other, and duplicated captions would make the
+    suffix ranges quadratic; content-equal rows merge in the exact pre-pass."""
+    best: dict[str, object] = {}
+    for i, t in zip(ids, texts):
+        cur = best.get(t)
+        if cur is None or i < cur:
+            best[t] = i
+    out_ids = sorted(best.values())
+    by_id = {i: t for t, i in best.items()}
+    return out_ids, [by_id[i] for i in out_ids]
+
+
+def containment_candidates(
+    features,
+    cfg: DedupConfig,
+    n_parts: int = 32,
+    broadcast_limit: int = CAPTION_BROADCAST_LIMIT,
+):
     """Dataset stage: features (image_id, _norm_caption) -> containment edges
     (id_a, id_b, dropped).
 
     Rare-token multi-key partitioning (see module docstring); per-bucket
-    token-aligned suffix sort in a map_groups. Captions duplicated across
-    rows are collapsed to one representative per distinct caption first
-    (equal-length texts can never strictly contain each other; rows sharing a
-    caption AND content merge in the exact pre-pass instead).
+    token-aligned suffix sort in a map_groups. Below ``broadcast_limit`` rows
+    the captions broadcast as a uid-sorted Arrow table and the shuffle carries
+    only (bucket_key, token, image_id, uid); above it captions ride along.
     """
+    import ray
+
+    n_rows = features.count()
+    broadcast = n_rows <= broadcast_limit
+    cap_ref = None
+    if broadcast:
+        tbl = pa.concat_tables(
+            ray.get(
+                features.select_columns(["image_id", "_norm_caption"]).to_arrow_refs()
+            )
+        ).combine_chunks()
+        uids = hashing.text_hash_u64(tbl.column("image_id"))
+        order = np.argsort(uids)
+        tbl = tbl.take(pa.array(order)).combine_chunks()
+        cap_ref = ray.put((uids[order], tbl))
 
     def emit_keys(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
         norm = batch.column("_norm_caption").to_pylist()
         keys, row_ids, toks = emit_rare_token_keys(ids, norm, cfg.contained_min_chars)
-        caps = {i: n for i, n in zip(ids, norm)}
-        return pa.table(
-            {
-                "_part": pa.array(
-                    (hashing.splitmix64(keys) % np.uint64(n_parts)).astype(np.int32)
-                    if len(keys)
-                    else np.array([], dtype=np.int32),
-                    type=pa.int32(),
-                ),
-                "bucket_key": pa.array(keys, type=pa.uint64()),
-                "token": pa.array(list(toks), type=pa.string()),
-                "image_id": pa.array(list(row_ids), type=pa.string()),
-                "_norm_caption": pa.array(
-                    [caps[i] for i in row_ids], type=pa.large_string()
-                ),
-            }
-        )
+        cols = {
+            "_part": pa.array(
+                (hashing.splitmix64(keys) % np.uint64(n_parts)).astype(np.int32)
+                if len(keys)
+                else np.array([], dtype=np.int32),
+                type=pa.int32(),
+            ),
+            "bucket_key": pa.array(keys, type=pa.uint64()),
+            "token": pa.array(list(toks), type=pa.string()),
+            "image_id": pa.array(list(row_ids), type=pa.string()),
+        }
+        if broadcast:
+            cols["uid"] = pa.array(
+                hashing.text_hash_u64(list(row_ids))
+                if len(row_ids)
+                else np.empty(0, dtype=np.uint64),
+                type=pa.uint64(),
+            )
+        else:
+            caps = {i: n for i, n in zip(ids, norm)}
+            cols["_norm_caption"] = pa.array(
+                [caps[i] for i in row_ids], type=pa.large_string()
+            )
+        return pa.table(cols)
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if broadcast and len(df):
+            suids, stbl = ray.get(cap_ref)
+            pos = np.minimum(
+                np.searchsorted(suids, df["uid"].to_numpy(dtype=np.uint64)),
+                len(suids) - 1,
+            )
+            probed = stbl.take(pa.array(pos))
+            ok = (
+                probed.column("image_id").to_numpy(zero_copy_only=False)
+                == df["image_id"].to_numpy(dtype=object)
+            )
+            df = df.assign(
+                _norm_caption=probed.column("_norm_caption").to_numpy(
+                    zero_copy_only=False
+                )
+            )[ok]
         outs = []
         for (_, token), g in df.groupby(["bucket_key", "token"], sort=True):
             if len(g) < 2:
                 continue
-            # one representative per distinct caption (see docstring)
-            g = (
-                g.drop_duplicates(subset=["image_id"])
-                .sort_values("image_id")
-                .drop_duplicates(subset=["_norm_caption"])
+            gids, gtexts = _dedupe_reps(
+                g["image_id"].tolist(), g["_norm_caption"].fillna("").tolist()
             )
-            if len(g) < 2:
+            if len(gids) < 2:
                 continue
-            outs.append(
-                containment_pairs_bucket(
-                    g["image_id"].tolist(),
-                    g["_norm_caption"].fillna("").tolist(),
-                    token,
-                    cfg,
-                )
-            )
+            outs.append(containment_pairs_bucket(gids, gtexts, token, cfg))
         if not outs:
             return containment_pairs_bucket([], [], "", cfg)
         out = pd.concat(outs, ignore_index=True)

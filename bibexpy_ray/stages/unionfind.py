@@ -48,6 +48,46 @@ def clusters_driver(edges: Iterable[tuple[str, str]]) -> dict[str, str]:
     return {x: find(x) for x in list(parent)}
 
 
+def clusters_driver_arrays(id_a, id_b):
+    """Vectorized driver connected components over string edge arrays.
+
+    Same result as ``clusters_driver`` (canonical = lexicographic min member)
+    but numpy throughout: integer-encode endpoints (np.unique), iterate
+    min-label scatter (np.minimum.at) + pointer jumping until fixpoint —
+    O((E+V) · log diameter) C-speed ops instead of a per-edge Python loop.
+    Returns (members: object ndarray, canon: object ndarray).
+    """
+    import numpy as np
+
+    id_a = np.asarray(id_a, dtype=object)
+    id_b = np.asarray(id_b, dtype=object)
+    # self-edges carry no information; the dict union-find drops endpoints
+    # seen only in self-edges, so the array form must too
+    keep = id_a != id_b
+    id_a, id_b = id_a[keep], id_b[keep]
+    if len(id_a) == 0:
+        return np.empty(0, dtype=object), np.empty(0, dtype=object)
+    ids, inv = np.unique(np.concatenate([id_a, id_b]), return_inverse=True)
+    ai, bi = inv[: len(id_a)], inv[len(id_a):]
+    # np.unique sorts, so integer order == lexicographic order: the min LABEL
+    # is the min member string, exactly the union-by-min rule
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[ai], lab[bi])
+        before = lab.copy()
+        np.minimum.at(lab, ai, m)
+        np.minimum.at(lab, bi, m)
+        # pointer jumping: chase labels to their current roots
+        for _ in range(3):
+            nxt = lab[lab]
+            if (nxt == lab).all():
+                break
+            lab = nxt
+        if (lab == before).all():
+            break
+    return ids, ids[lab]
+
+
 def clusters_distributed(edges_ds, max_rounds: int = 20):
     """Min-label propagation over an edges Dataset (id_a, id_b) -> Dataset
     (image_id, cluster_id).

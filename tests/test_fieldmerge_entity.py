@@ -123,3 +123,46 @@ def test_split_proposals():
     # single-feature and singleton names never propose splits
     assert "a jones" not in set(out["mention"])
     assert "only one" not in set(out["mention"])
+
+
+# ---------------------------------------------------------------------------
+# authority-set (ORCID) arbitration — ported decision tests (orcid.py:245-261)
+# ---------------------------------------------------------------------------
+
+
+def test_classify_authority_sets_decisions():
+    from bibexpy_ray.pipelines.entity import classify_by_authority_sets as c
+
+    # disjoint known sets ⇒ conflict (different people)
+    assert c([{"0000-1"}, {"0000-2"}]) == "conflict"
+    # all pairwise-intersecting ⇒ merge
+    assert c([{"0000-1"}, {"0000-1", "0000-3"}]) == "merge"
+    assert c([{"a", "b"}, {"b", "c"}, {"b"}]) == "merge"
+    # fewer than two known ⇒ unknown
+    assert c([]) == "unknown"
+    assert c([{"x"}]) == "unknown"
+    assert c([set(), {"x"}, set()]) == "unknown"
+    # one disjoint pair among several ⇒ conflict even if others intersect
+    assert c([{"a"}, {"a"}, {"z"}]) == "conflict"
+
+
+def test_arbitrate_clusters_tiers():
+    import pandas as pd
+
+    from bibexpy_ray.pipelines.entity import arbitrate_clusters
+
+    clusters = pd.DataFrame(
+        {
+            "cluster_id": ["c1", "c2", "c3"],
+            "members": ["smith j; smith jo", "doe a; doe ab", "roe b; roe bc"],
+            "tier": [2, 2, 1],
+        }
+    )
+    ids = {
+        "smith j": {"0000-1"}, "smith jo": {"0000-1"},     # merge
+        "doe a": {"0000-2"}, "doe ab": {"0000-9"},          # conflict
+        # roe: no ids -> unknown, tier unchanged
+    }
+    out = arbitrate_clusters(clusters, ids)
+    assert list(out["authority_decision"]) == ["merge", "conflict", "unknown"]
+    assert list(out["tier"]) == [1, 3, 1]

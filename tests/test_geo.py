@@ -1,0 +1,188 @@
+"""C1/geo family tests: country dictionaries, address parsing, structure-
+preserving rewrites, block builders, and the propose → apply → re-propose
+idempotence loop (reference: c1_utils.py:16-418, blocking.py:429-582)."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from bibexpy_ray.functions import geo
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ── dictionaries ──────────────────────────────────────────────────────────
+
+
+def test_canonical_country_variants():
+    assert geo.canonical_country("USA") == "United States"
+    assert geo.canonical_country("u.s.a.") == "United States"
+    assert geo.canonical_country("Peoples R China") == "China"
+    assert geo.canonical_country("ENGLAND") == "United Kingdom"
+    assert geo.canonical_country("Türkiye") == "Turkey"
+    assert geo.canonical_country("France") == "France"  # already canonical
+    assert geo.canonical_country("Atlantis") is None
+    assert geo.canonical_country("") is None
+
+
+def test_country_from_code():
+    assert geo.country_from_code("us") == "United States"
+    assert geo.country_from_code("GB") == "United Kingdom"
+    assert geo.country_from_code("zz") is None
+    # code names agree with variant-map names (consistency requirement)
+    for code, name in geo.COUNTRY_CODE_TO_NAME.items():
+        if name.lower() in {v.lower() for v in geo.CANONICAL_COUNTRIES}:
+            assert geo.canonical_country(name) == name, (code, name)
+
+
+# ── splitting / parsing ───────────────────────────────────────────────────
+
+
+def test_split_preserves_bracketed_semicolons():
+    c1 = "[Smith, J; Doe, A] Univ X, City, USA; [Roe, B] Inst Y, Berlin, Germany"
+    out = geo.split_c1_addresses(c1)
+    assert out == ["Univ X, City, USA", "Inst Y, Berlin, Germany"]
+    assert geo.split_c1_addresses("") == []
+    assert geo.split_c1_addresses("NaN") == []
+
+
+def test_parse_c1_address():
+    info = geo.parse_c1_address("Dept Phys, Univ Oxford, Oxford OX1, England")
+    assert info["country"] == "United Kingdom"
+    assert info["institution"] == "Univ Oxford"
+    # subunit not preferred over the parent
+    info2 = geo.parse_c1_address("School of Med, Harvard Univ, Boston, MA 02115, USA")
+    assert info2["institution"] == "Harvard Univ"
+    # no org keyword → no guess
+    info3 = geo.parse_c1_address("Research Triangle Park, NC 27709, USA")
+    assert info3["institution"] is None
+    assert info3["country"] == "United States"
+
+
+def test_rollup_c1_to_parent():
+    c1 = "[A] Dept Phys, Univ X, City 123, USA; [B] Dept Chem, Univ X, City 123, USA"
+    rolled = geo.rollup_c1_to_parent(c1)
+    assert rolled == "Univ X, United States"  # dedup + structure collapse
+
+
+# ── rewrites ──────────────────────────────────────────────────────────────
+
+
+def test_replace_country_preserves_structure():
+    c1 = "[Smith, J; Doe, A] Univ X, City, USA; [Roe, B] Inst Y, Berlin, Germany"
+    mapping = {"usa": "United States", "germany": "Germany"}
+    out = geo.replace_country_in_c1(c1, mapping)
+    assert "[Smith, J; Doe, A] Univ X, City, United States" in out
+    assert "Inst Y, Berlin, Germany" in out  # already canonical — untouched
+    # idempotent
+    assert geo.replace_country_in_c1(out, mapping) == out
+
+
+def test_append_country_only_when_missing():
+    c1 = "[A] Univ X, Lausanne"
+    out = geo.append_country_to_c1(c1, {"lausanne": "Switzerland"})
+    assert out == "[A] Univ X, Lausanne, Switzerland"
+    # never appends when the last token is already a country
+    c2 = "[A] Univ X, France"
+    assert geo.append_country_to_c1(c2, {"france": "France"}) == c2
+
+
+def test_replace_org_exact_component_only():
+    c1 = "[A] Dept Bio, Univ of Somewhere Med Ctr, City, USA"
+    addr = "Dept Bio, Univ of Somewhere Med Ctr, City, USA"
+    out = geo.replace_org_in_c1(c1, {addr: "Univ of Somewhere"})
+    assert out == "[A] Univ of Somewhere"
+    # non-matching addresses untouched
+    assert geo.replace_org_in_c1("[B] Other Inst, UK", {addr: "X"}) == "[B] Other Inst, UK"
+
+
+# ── blocks + apply loop ───────────────────────────────────────────────────
+
+
+def _c1_table():
+    return pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4, 5],
+            "c1": [
+                "[A] Univ Alpha, City, USA",
+                "[B] Univ Alpha, City, U.S.A.",
+                "[C] Inst Beta, Berlin, Germany",
+                "[D] Univ Alpha Dept Phys, City, United States",
+                "[E] Somewhere, Narnia",
+            ],
+        }
+    )
+
+
+def test_country_blocks_tiers(entryray):
+    from bibexpy_ray.pipelines.geo import country_blocks
+
+    blocks = country_blocks(rd.from_pandas(_c1_table()))
+    tier1 = blocks[blocks["tier"] == 1]
+    # USA + U.S.A. variants → one United States proposal; Germany is already
+    # canonical (no proposal)
+    assert any(
+        b == "United States" for b in tier1["canonical_name"]
+    )
+    assert not any(b == "Germany" for b in tier1["canonical_name"])
+    # unknown token (Narnia) lands in tier 2
+    tier2 = blocks[blocks["tier"] == 2]
+    assert any("Narnia" in v for v in tier2["variants"])
+
+
+def test_propose_apply_repropose_nothing(entryray):
+    """The apply-rewrite loop converges: after applying tier-1 country
+    proposals, a re-scan proposes nothing at tier 1 (pipeline.py:721-975
+    apply_clusters semantics)."""
+    from bibexpy_ray.pipelines.geo import country_blocks
+    from bibexpy_ray.pipelines.rewrite import apply_rewrite, country_mapping_from_blocks
+
+    ds = rd.from_pandas(_c1_table())
+    blocks = country_blocks(ds)
+    mapping = country_mapping_from_blocks(blocks)
+    assert mapping  # USA/U.S.A. → United States at least
+    rewritten, metrics = apply_rewrite(ds, "c1", mapping, kind="country")
+    assert metrics["changed_rows"] >= 2
+    assert metrics["total_rows"] == 5
+    blocks2 = country_blocks(rewritten)
+    assert not len(blocks2[blocks2["tier"] == 1]), blocks2
+    # second apply changes nothing (idempotent)
+    _, metrics2 = apply_rewrite(rewritten, "c1", mapping, kind="country")
+    assert metrics2["changed_rows"] == 0
+
+
+def test_org_rollup_blocks(entryray):
+    from bibexpy_ray.pipelines.geo import org_rollup_blocks
+
+    df = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3],
+            "c1": [
+                "[A] Dept Phys, Univ Gamma, City, USA",
+                "[B] Univ Gamma Sch Med, City, USA",
+                "[C] Wholly Different Inst, Town, France",
+            ],
+        }
+    )
+    blocks = org_rollup_blocks(rd.from_pandas(df))
+    # the two Univ Gamma address variants roll up into one proposal
+    gamma = blocks[blocks["canonical_name"].str.contains("Gamma")]
+    assert len(gamma) >= 1
+    assert gamma["n_records"].iloc[0] == 2
+
+
+def test_snapshot_column(entryray):
+    from bibexpy_ray.pipelines.rewrite import apply_rewrite
+
+    ds = rd.from_pandas(_c1_table())
+    out, _ = apply_rewrite(
+        ds, "c1", {"usa": "United States"}, kind="country", snapshot_col="c1_orig"
+    )
+    pdf = out.to_pandas()
+    assert "c1_orig" in pdf.columns
+    assert (pdf["c1_orig"] == _c1_table()["c1"]).all()
+
+
+@pytest.fixture(scope="module")
+def entryray():
+    return True  # ray session provided by conftest

@@ -36,3 +36,29 @@ def test_distributed_chain_component():
     got = dict(zip(labels["image_id"], labels["cluster_id"]))
     assert got == expect
     assert set(got.values()) == {"c0000"}
+
+
+def test_clusters_driver_arrays_equivalent():
+    """Vectorized array connected components == the dict union-find."""
+    import random
+
+    import numpy as np
+
+    from bibexpy_ray.stages.unionfind import clusters_driver, clusters_driver_arrays
+
+    rng = random.Random(5)
+    for trial in range(10):
+        n = rng.randint(2, 400)
+        edges = [
+            (f"id{rng.randrange(n):04d}", f"id{rng.randrange(n):04d}")
+            for _ in range(rng.randint(1, 600))
+        ]
+        want = clusters_driver(edges)
+        members, canon = clusters_driver_arrays(
+            np.array([a for a, _ in edges], dtype=object),
+            np.array([b for _, b in edges], dtype=object),
+        )
+        got = dict(zip(members, canon))
+        assert got == want, trial
+    m, c = clusters_driver_arrays(np.empty(0, object), np.empty(0, object))
+    assert len(m) == 0 and len(c) == 0
