@@ -149,22 +149,38 @@ def run_scaling() -> dict:
     )
     ray.shutdown()
 
-    results = []
-    for cpus in (8, 32):
+    def child(cpus: int) -> dict:
+        # fresh Ray state per trial: leftover agent daemons from a previous
+        # session pollute load on this shared sandbox (BASELINE.md notes
+        # ±20-40% run-to-run variance)
+        subprocess.run(["ray", "stop", "--force"], capture_output=True, timeout=120)
+        time.sleep(1)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child",
              str(cpus), corpus],
             capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
+        return json.loads(line)
+
+    # best-of-N per level: the sandbox's noise floor exceeds the measurement
+    # delta, and the fastest trial is the closest estimate of the code's true
+    # cost at that parallelism (all trials use the same warmed input)
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+    results, all_trials = [], []
+    for cpus in (8, 32):
+        runs = [child(cpus) for _ in range(trials)]
+        all_trials.extend(runs)
+        results.append(min(runs, key=lambda r: r["seconds"]))
     t8, t32 = results[0]["rows_per_sec"], results[1]["rows_per_sec"]
     eff = (t32 / t8) / (32 / 8)
     return {
-        "metric": "scaling efficiency, flagship dedup at num_cpus=8 vs 32",
+        "metric": "scaling efficiency, flagship dedup at num_cpus=8 vs 32 "
+                  f"(best of {trials} trials per level)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "runs": results,
+        "trials": all_trials,
         "sf": SF_DIR,
     }
 

@@ -733,17 +733,16 @@ def dedup_images(
         batch_format="pandas",
     )
     metrics["candidate_edges"] = int(edges_raw.count())
-    metrics["borderline"] = int(borderline_ds.count())
     _lap("s_verify_split")
 
     # ---- connected components ----------------------------------------------
-    # every non-borderline verified stage carries confidence >= 0.9 (stages
-    # 1-4 = 1.0/0.99/0.95/0.90), so the auto count is arithmetic — no extra
-    # pass over the verified Dataset just to pick the code path
-    n_auto = int(verified.count()) - metrics["borderline"]
-    metrics["verified_auto"] = n_auto
-    n_edges = n_auto + len(exact_pd)
-    if n_edges > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
+    # cap gate uses the (metadata-cheap) candidate count — auto edges are a
+    # subset of candidates, so candidates+exact <= cap proves the collect is
+    # bounded without an extra counting pass over the verified Dataset;
+    # auto/borderline metrics then derive from the ONE filter pass (every
+    # non-borderline stage carries confidence >= 0.9: 1-4 = 1.0/.99/.95/.90)
+    n_verified = int(verified.count())
+    if metrics["candidate_edges"] + len(exact_pd) > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
         # distributed min-label propagation straight over the edge DATASET
         # (union with the exact pre-collapse edges); equivalence with the
         # driver union-find is proven in tests/test_unionfind.py
@@ -759,6 +758,8 @@ def dedup_images(
         metrics["clusters"] = int(
             labels_ds.groupby("cluster_id").count().count()
         )
+        metrics["verified_auto"] = int(auto_edges_ds.count())
+        metrics["borderline"] = n_verified - metrics["verified_auto"]
     else:
         # ids-only collect (bounded by the dup rate, ~16 B + id chars per
         # edge), then vectorized driver connected components — the
@@ -775,6 +776,8 @@ def dedup_images(
         members, canon = clusters_driver_arrays(ea, eb)
         labels = ClusterLabels(members=members, canon=canon)
         metrics["clusters"] = int(len(np.unique(canon)))
+        metrics["verified_auto"] = int(len(auto_pd))
+        metrics["borderline"] = n_verified - len(auto_pd)
     _lap("s_unionfind")
 
     # ---- survivor selection -------------------------------------------------

@@ -196,11 +196,14 @@ def containment_pairs_partition(part: pd.DataFrame, cfg: DedupConfig) -> pd.Data
     )
 
 
-#: below this row count the caption table broadcasts (zero-copy Arrow, one
-#: copy per node) and ONLY (part, key, token, id) rows shuffle — cutting the
-#: dominant per-row caption payload (~130 B) out of the exchange; above it
-#: captions ride the shuffle (the unbounded-corpus path)
-CAPTION_BROADCAST_LIMIT = 2_000_000
+#: rows below this count MAY broadcast the caption table instead of shuffling
+#: caption payloads. Measured at 480k/32cpu: broadcast 15-25 s vs shuffle
+#: 10-11 s — the driver-side Arrow build + per-task take() probes cost more
+#: than shuffling the ~130 B/row payload, so the SHUFFLE path is the default
+#: at every scale (and the only possible path above the object-store bound);
+#: the broadcast variant is kept behind this knob for wide-caption corpora
+#: where the payload ratio flips.
+CAPTION_BROADCAST_LIMIT = 0
 
 
 def _dedupe_reps(ids: list, texts: list[str]) -> tuple[list, list[str]]:
