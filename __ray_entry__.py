@@ -70,11 +70,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_contains": relational.filter_contains_any,
         "filter_fulltext": relational.filter_boolean_fulltext,
         "filter_quality": relational.filter_data_quality,
+        "filter_spec": relational.filter_spec,
+        "paginate": relational.paginate_orders,
         # aggregations / statistics
         "pricing_summary": relational.pricing_summary,
         "year_histogram": relational.year_histogram,
         "top_event_types": relational.top_event_types,
         "quality_stats": relational.quality_stats,
+        "field_status_report": relational.field_status_report,
         "facets": relational.facets,
         "value_buckets": relational.value_buckets,
         # joins (broadcast small-side)
@@ -87,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
         "fingerprint": textstats.fingerprint,
+        "fingerprint_kgrams": textstats.fingerprint_kgrams,
         # dedup family
         "exact_dedup": docdedup.exact_dedup,
         "neardup_pairs_char5": docdedup.neardup_pairs_char5,
@@ -183,6 +187,17 @@ def oracle_sql() -> dict[str, str]:
             "OR regexp_matches(props, '^\\{\"k\": [0-9]\\}$')) "
             "AND event_type IS NOT NULL AND event_type <> ''"
         ),
+        "paginate": (
+            "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+            "ORDER BY o_orderkey LIMIT 20 OFFSET 100"
+        ),
+        "filter_spec": (
+            "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders "
+            "WHERE o_totalprice >= 50000 AND o_totalprice < 250000 "
+            "AND o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "AND NOT contains(o_orderstatus, 'P') "
+            "AND o_orderdate IS NOT NULL"
+        ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             f"CAST(SUM({qty}) AS BIGINT) AS sum_qty_x100, "
@@ -212,6 +227,24 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'text', "
             "count(*) FILTER (WHERE text IS NOT NULL AND trim(text) <> ''), "
             "count(*) FILTER (WHERE text IS NULL OR trim(text) = '') FROM documents"
+        ),
+        "field_status_report": (
+            "WITH s AS ("
+            "SELECT 'lang' AS column_name, "
+            "count(*) FILTER (WHERE lang IS NULL OR trim(lang) = '') AS n_missing, "
+            "count(*) AS total FROM documents "
+            "UNION ALL SELECT 'n_chars', count(*) - count(n_chars), count(*) FROM documents "
+            "UNION ALL SELECT 'source', "
+            "count(*) FILTER (WHERE source IS NULL OR trim(source) = ''), count(*) FROM documents "
+            "UNION ALL SELECT 'text', "
+            "count(*) FILTER (WHERE text IS NULL OR trim(text) = ''), count(*) FROM documents) "
+            "SELECT column_name, n_missing, "
+            "CAST((n_missing * 10000) // total AS BIGINT) AS missing_bp, "
+            "CASE WHEN n_missing = 0 THEN 'Excellent' "
+            "WHEN 100 * n_missing < 5 * total THEN 'Very Good' "
+            "WHEN 100 * n_missing < 15 * total THEN 'Good' "
+            "WHEN 100 * n_missing < 40 * total THEN 'Poor' "
+            "ELSE 'Very Poor' END AS status FROM s"
         ),
         "facets": (
             "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
@@ -301,7 +334,50 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.4"
         ),
+        "minhash_clusters": (
+            # connected components over the τ=0.8 char-5 near-dup pair set:
+            # min reachable doc_id per node via a recursive reachability CTE
+            "WITH RECURSIVE sh AS (SELECT doc_id, "
+            "list_distinct([substr(text, CAST(i AS INT), 5) "
+            "FOR i IN range(1, CAST(len(text) AS BIGINT) - 3)]) AS gs "
+            "FROM documents WHERE len(text) >= 5), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) >= "
+            "0.8 * (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))), "
+            "e AS (SELECT id_a AS a, id_b AS b FROM p "
+            "UNION ALL SELECT id_b, id_a FROM p), "
+            "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a) "
+            "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"
+        ),
+        "entity_splits": (
+            # split proposals: sources serving >= 2 languages → per-language
+            # components, largest keeps the plain name, others get (b)(c)…
+            "WITH norm AS (SELECT trim(regexp_replace(regexp_replace("
+            "lower(strip_accents(source)), '[^a-z0-9 ]+', ' ', 'g'), "
+            "' +', ' ', 'g')) AS mention, lang AS feature FROM documents), "
+            "counts AS (SELECT mention, feature, COUNT(*) AS n FROM norm "
+            "WHERE mention <> '' AND feature IS NOT NULL AND feature <> '' "
+            "GROUP BY 1, 2), "
+            "ranked AS (SELECT mention, feature, n, "
+            "row_number() OVER (PARTITION BY mention ORDER BY n DESC, feature) AS rk, "
+            "count(*) OVER (PARTITION BY mention) AS nf FROM counts) "
+            "SELECT mention, feature AS component_feature, n AS n_mentions, "
+            "CASE WHEN rk = 1 THEN mention "
+            "ELSE mention || ' (' || chr(CAST(ord('b') + rk - 2 AS INT)) || ')' END AS proposed_name "
+            "FROM ranked WHERE nf >= 2"
+        ),
+        "fingerprint_kgrams": (
+            "SELECT doc_id, CAST(len(list_distinct([substr(text, CAST(i AS INT), 8) "
+            "FOR i IN range(1, CAST(len(text) AS BIGINT) - 6)])) AS BIGINT) AS n_kgrams "
+            "FROM documents"
+        ),
         # no oracle (non-SQL-expressible → driver rows-only check):
-        # minhash_clusters, simhash_pairs, lang_id, fingerprint,
-        # embedding_neardup_lsh, image_decode_stats, image_dedup_clusters
+        # simhash_pairs (custom 64-bit hash), lang_id (n-gram profile model),
+        # fingerprint (winnowing over the engine's rolling hash),
+        # embedding_neardup_lsh (approximate; pytest-checked vs the exact
+        # variant), smart_match (greedy stateful 1:1 assignment),
+        # entity_clusters / source_classifier (greedy clustering / trained
+        # model), image_decode_stats, image_dedup_clusters (binary corpus)
     }

@@ -46,6 +46,24 @@ def union_values(values: list[Any]) -> str:
     return "; ".join(out)
 
 
+def clean_merged_values(x: Any) -> Any:
+    """1:1 parity with MergeDB.py:44-61 clean_merged_values: split on ';'
+    ONLY, strip, drop empties, CASE-SENSITIVE first-seen dedup, rejoin '; '.
+    Non-strings pass through unchanged (the reference's isinstance guard).
+    Distinct from ``union_values``, which is the case-insensitive ';'/'|'
+    multi-value union used by the merge policies."""
+    if not isinstance(x, str):
+        return x
+    seen: set[str] = set()
+    out: list[str] = []
+    for part in x.split(";"):
+        p = part.strip()
+        if p and p not in seen:
+            seen.add(p)
+            out.append(p)
+    return "; ".join(out)
+
+
 def longer_wins(values: list[Any]) -> str:
     """Longest non-blank value; earlier value wins ties (stable)."""
     best = ""
@@ -85,6 +103,172 @@ def priority_source(
     return best_val, conflict
 
 
+# ---------------------------------------------------------------------------
+# Specialized per-field mergers (MergeDB.py:433-530 merge_language, :595-664
+# merge_open_access, :210-278 merge_references — semantics reimplemented)
+# ---------------------------------------------------------------------------
+
+#: language code/name → canonical name (MergeDB.py:447-480; ASCII-folded keys
+#: only — the reference folds input through unidecode before lookup, so its
+#: non-ASCII keys are unreachable and are intentionally not carried over)
+LANGUAGE_MAP: dict[str, str] = {
+    "ENG": "ENGLISH",
+    "EN": "ENGLISH",
+    "FRE": "FRENCH",
+    "FR": "FRENCH",
+    "GER": "GERMAN",
+    "DE": "GERMAN",
+    "SPA": "SPANISH",
+    "ES": "SPANISH",
+    "ITA": "ITALIAN",
+    "IT": "ITALIAN",
+    "POR": "PORTUGUESE",
+    "PT": "PORTUGUESE",
+    "RUS": "RUSSIAN",
+    "RU": "RUSSIAN",
+    "CHI": "CHINESE",
+    "ZH": "CHINESE",
+    "JPN": "JAPANESE",
+    "JA": "JAPANESE",
+    "ESPANOL": "SPANISH",
+    "FRANCAIS": "FRENCH",
+    "DEUTSCHE": "GERMAN",
+    "PORTUGUES": "PORTUGUESE",
+    "ITALIANO": "ITALIAN",
+    "RUSSKIY": "RUSSIAN",
+}
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _ascii_fold_upper(s: str) -> str:
+    import unicodedata
+
+    s = _WS_RE.sub(" ", s.strip())
+    return (
+        unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii").upper()
+    )
+
+
+def standardize_language(lang: Any) -> str:
+    """Fold → upper → split ';' → map each token → sorted unique rejoin
+    (MergeDB.py:482-501 standardize_language)."""
+    s = to_str(lang)
+    if not s:
+        return ""
+    toks = [t.strip() for t in _ascii_fold_upper(s).split(";")]
+    std = [LANGUAGE_MAP.get(t, t) for t in toks if t]
+    return "; ".join(sorted(set(std)))
+
+
+def merge_language(wos_lang: Any, scopus_lang: Any) -> str:
+    """Union of standardized languages; ENGLISH default when both blank
+    (MergeDB.py:504-521)."""
+    w, s = standardize_language(wos_lang), standardize_language(scopus_lang)
+    if w and s:
+        return "; ".join(sorted(set(w.split("; ")) | set(s.split("; "))))
+    return w or s or "ENGLISH"
+
+
+#: OA status variants → canonical status (MergeDB.py:608-630)
+OA_STATUS_MAP: dict[str, str] = {
+    "OPEN ACCESS": "OPEN ACCESS",
+    "OA": "OPEN ACCESS",
+    "GOLD": "GOLD OPEN ACCESS",
+    "GOLD OPEN ACCESS": "GOLD OPEN ACCESS",
+    "GREEN": "GREEN OPEN ACCESS",
+    "GREEN OPEN ACCESS": "GREEN OPEN ACCESS",
+    "BRONZE": "BRONZE OPEN ACCESS",
+    "BRONZE OPEN ACCESS": "BRONZE OPEN ACCESS",
+    "HYBRID": "HYBRID OPEN ACCESS",
+    "HYBRID OPEN ACCESS": "HYBRID OPEN ACCESS",
+    "ALL OPEN ACCESS": "OPEN ACCESS",
+    "PUBLISHED": "OPEN ACCESS",
+    "FREE": "OPEN ACCESS",
+    "PUBLISHERFULLGOLD": "GOLD OPEN ACCESS",
+    "REPOSITORY": "GREEN OPEN ACCESS",
+    "SUBSCRIPTION": "NON OPEN ACCESS",
+    "NON-OA": "NON OPEN ACCESS",
+    "CLOSED": "NON OPEN ACCESS",
+}
+
+
+def standardize_oa_status(oa: Any) -> str:
+    s = to_str(oa)
+    if not s:
+        return ""
+    folded = _ascii_fold_upper(s)
+    return OA_STATUS_MAP.get(folded, folded)
+
+
+def merge_open_access(wos_oa: Any, scopus_oa: Any) -> str:
+    """Specific-beats-generic OA merge: a named tier (GOLD/GREEN/…) beats the
+    generic 'OPEN ACCESS'; both specific and differing → WoS wins; both blank
+    → 'NON OPEN ACCESS' (MergeDB.py:643-664)."""
+    w, s = standardize_oa_status(wos_oa), standardize_oa_status(scopus_oa)
+    if not w and s:
+        return s
+    if w and not s:
+        return w
+    if w and s and w != s:
+        if w == "OPEN ACCESS":
+            return s
+        if s == "OPEN ACCESS":
+            return w
+        return w
+    return w or "NON OPEN ACCESS"
+
+
+_NON_ALNUM_RE = re.compile(r"[^A-Z0-9]")
+_TRAIL_YEAR_RE = re.compile(r"\((\d{4})\)$")
+_YEAR_RE = re.compile(r"\d{4}")
+
+
+def reference_key(ref: str) -> str:
+    """author_year key for one citation string (MergeDB.py:233-256
+    create_ref_key): Scopus style ends '(YYYY)'; WoS style 'Author, YYYY, …';
+    unrecognized formats fall back to the cleaned whole string."""
+    r = ref.upper().strip()
+    if r.endswith(")"):
+        m = _TRAIL_YEAR_RE.search(r)
+        if m:
+            author = _NON_ALNUM_RE.sub("", r.split(",")[0])
+            return f"{author}_{m.group(1)}"
+    parts = r.split(",")
+    if len(parts) >= 2:
+        m = _YEAR_RE.search(parts[1])
+        if m:
+            return f"{_NON_ALNUM_RE.sub('', parts[0])}_{m.group()}"
+    return _NON_ALNUM_RE.sub("", r)
+
+
+def merge_references(wos_refs: Any, scopus_refs: Any) -> str:
+    """Reference-list merge keyed by author_year: WoS formatting preferred per
+    key, Scopus-only keys appended (MergeDB.py:258-278). Divergence from the
+    reference, documented: the reference iterates a Python set (order
+    nondeterministic run-to-run); this emits WoS order then Scopus-only order
+    so task retries are reproducible.
+    """
+
+    def split_refs(s: Any) -> list[str]:
+        t = to_str(s)
+        return [r.strip() for r in t.split(";") if r.strip()] if t else []
+
+    wos_list, scopus_list = split_refs(wos_refs), split_refs(scopus_refs)
+    # dict semantics like the reference: LAST occurrence of a key within one
+    # source wins; WoS value preferred when both sources share a key
+    wos_d = {reference_key(r): r for r in wos_list}
+    sco_d = {reference_key(r): r for r in scopus_list}
+    out: list[str] = []
+    seen: set[str] = set()
+    for ref in wos_list + scopus_list:
+        k = reference_key(ref)
+        if k not in seen:
+            seen.add(k)
+            out.append(wos_d.get(k, sco_d.get(k, ref)))
+    return "; ".join(out)
+
+
 MergePolicy = Callable[[list[Any]], str]
 
 #: default per-field policies for the image+caption record (the Caputo-table
@@ -99,6 +283,15 @@ _POLICY_FNS: dict[str, MergePolicy] = {
     "union": union_values,
     "longer_wins": longer_wins,
     "first_non_blank": first_non_blank,
+}
+
+#: specialized two-source mergers (field policy → fn(wos_value, scopus_value));
+#: in merge_record the first/second entries of ``source_order`` play the
+#: wos/scopus roles
+_TWO_SOURCE_FNS: dict[str, Callable[[Any, Any], str]] = {
+    "language": merge_language,
+    "open_access": merge_open_access,
+    "references": merge_references,
 }
 
 
@@ -124,6 +317,16 @@ def merge_record(
     for f in fields:
         values = [r.get(f) for r in rows]
         policy = policies.get(f, "first_non_blank")
+        if policy in _TWO_SOURCE_FNS and source_field:
+            order = source_order or []
+            a = first_non_blank(
+                [v for v, s in zip(values, sources) if order and s == order[0]]
+            )
+            b = first_non_blank(
+                [v for v, s in zip(values, sources) if len(order) > 1 and s == order[1]]
+            )
+            merged[f] = _TWO_SOURCE_FNS[policy](a, b)
+            continue
         if policy == "priority_source" and source_field:
             val, conflict = priority_source(values, sources, source_order or [])
             if conflict:

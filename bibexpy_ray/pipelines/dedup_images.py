@@ -35,6 +35,7 @@ from bibexpy_ray.stages.lsh import (
     BucketPairEmitter,
     add_coarse_partition,
     dedupe_pairs,
+    dedupe_pairs_manual,
     emit_authority_rows,
     emit_caption_band_rows,
     emit_phash_band_rows,
@@ -570,27 +571,30 @@ def dedup_images(
         def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
             return emitter(df)
 
-        pairs = (
-            bucket_rows.map_batches(
-                lambda b: add_coarse_partition(b, "bucket_key", n_coarse),
-                batch_format="pyarrow",
+        def run_lsh():
+            # each branch ends in its own materialize barrier: fusing the
+            # bucket groupby + containment groupby + pair dedupe into ONE
+            # streaming DAG thrashes badly at low CPU counts (measured 5x
+            # slower at 8 CPUs); pairs are ids-only — cheap to pin
+            t0 = _time.time()
+            out = (
+                bucket_rows.map_batches(
+                    lambda b: add_coarse_partition(b, "bucket_key", n_coarse),
+                    batch_format="pyarrow",
+                )
+                .groupby("_part")
+                .map_groups(emit_pairs, batch_format="pandas")
+                .materialize()
             )
-            .groupby("_part")
-            .map_groups(emit_pairs, batch_format="pandas")
-            # barrier: the union below would otherwise put two all-to-all
-            # Sorts (bucket groupby + containment groupby + pair dedupe) into
-            # one streaming DAG, which thrashes badly at low CPU counts
-            # (measured 5x slower at 8 CPUs); pairs are ids-only — cheap to pin
-            .materialize()
-        )
-        _lap("s_cand_lsh")
-        if cfg.substring_pass:
-            # suffix-array containment pass (Stage-4 feeder for contained
+            metrics["s_cand_lsh"] = round(_time.time() - t0, 2)
+            return out
+
+        def run_containment():
+            # suffix-sort containment pass (Stage-4 feeder for contained
             # captions whose Jaccard/prefix signals are too weak — the
             # partial-metadata-match analog, smart_merger.py:309-334)
-            from bibexpy_ray.stages.substring import containment_candidates
-
             from bibexpy_ray.functions.hashing import text_hash_u64
+            from bibexpy_ray.stages.substring import containment_candidates
 
             def to_uid_pairs(df: pd.DataFrame) -> pd.DataFrame:
                 # containment works on id strings; the pair stream is numeric
@@ -606,17 +610,36 @@ def dedup_images(
                     }
                 )
 
-            contained = (
+            t0 = _time.time()
+            out = (
                 containment_candidates(
                     reps.select_columns(["image_id", "_norm_caption"]), cfg, n_coarse
                 )
                 .map_batches(to_uid_pairs, batch_format="pandas")
                 .materialize()
             )
-            _lap("s_cand_contain")
-            pairs = pairs.union(contained)
-        # a pair appears in many buckets: dedupe on (id_a, id_b)
-        return dedupe_pairs(pairs, n_coarse)
+            metrics["s_cand_contain"] = round(_time.time() - t0, 2)
+            return out
+
+        # the LSH-bucket and containment branches share only the pinned
+        # feature table — run their executions from two driver threads so the
+        # two shuffles overlap (two independent streaming executors timeshare
+        # the cluster; at high CPU counts this converts the shorter branch's
+        # wall time into overlap instead of serial latency)
+        if cfg.substring_pass:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_lsh = pool.submit(run_lsh)
+                f_contained = pool.submit(run_containment)
+                pairs = f_lsh.result().union(f_contained.result())
+        else:
+            pairs = run_lsh()
+        _lap("s_cand_emit")
+        # a pair appears in many buckets: dedupe on (id_a, id_b) — manual
+        # hash shuffle (the reduce is pure vectorized; the sort-groupby's
+        # coordination would dominate it 4x, stages/shuffle.py)
+        return dedupe_pairs_manual(pairs, n_coarse)
 
     # candidate edges feed both the verifier and the metrics count — pin them
     # so the shuffle-heavy candidate stage executes exactly once

@@ -128,6 +128,107 @@ def filter_data_quality(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Filter-spec combinator (filter_engine.py:184-211 apply_filter analog)
+# ---------------------------------------------------------------------------
+
+
+def _spec_mask(batch: pa.Table, spec: dict) -> pa.Array:
+    """AND-of-clauses mask for one batch — every clause vectorized pyarrow.
+
+    Spec clauses (all optional, ANDed together — the reference's
+    ``apply_filter`` semantics, /root/reference/apps/api/services/
+    filter_engine.py:184-211, reimplemented column-generic):
+
+    - ``range``: ``[{"col", "ge"?, "lt"?}]`` numeric ranges
+    - ``in_set``: ``[{"col", "values"}]`` set membership
+    - ``contains_any``: ``[{"col", "terms"}]`` substring OR within a clause
+    - ``not_contains``: ``[{"col", "terms"}]`` negated substrings
+    - ``has`` / ``missing``: data-quality presence checks (non-blank / blank)
+    """
+    mask = pa.array(np.ones(batch.num_rows, dtype=bool))
+    for cl in spec.get("range", []):
+        col = batch.column(cl["col"])
+        if "ge" in cl:
+            mask = pc.and_(mask, pc.greater_equal(col, cl["ge"]))
+        if "lt" in cl:
+            mask = pc.and_(mask, pc.less(col, cl["lt"]))
+    for cl in spec.get("in_set", []):
+        mask = pc.and_(
+            mask, pc.is_in(batch.column(cl["col"]), value_set=pa.array(cl["values"]))
+        )
+    for cl in spec.get("contains_any", []):
+        col = pc.fill_null(batch.column(cl["col"]), "")
+        any_term = pc.match_substring(col, cl["terms"][0])
+        for t in cl["terms"][1:]:
+            any_term = pc.or_(any_term, pc.match_substring(col, t))
+        mask = pc.and_(mask, any_term)
+    for cl in spec.get("not_contains", []):
+        col = pc.fill_null(batch.column(cl["col"]), "")
+        for t in cl["terms"]:
+            mask = pc.and_(mask, pc.invert(pc.match_substring(col, t)))
+    for field in spec.get("has", []):
+        col = pc.fill_null(batch.column(field).cast(pa.string()), "")
+        mask = pc.and_(mask, pc.invert(pc.equal(pc.utf8_trim_whitespace(col), "")))
+    for field in spec.get("missing", []):
+        col = pc.fill_null(batch.column(field).cast(pa.string()), "")
+        mask = pc.and_(mask, pc.equal(pc.utf8_trim_whitespace(col), ""))
+    return mask
+
+
+def apply_filter_spec(
+    ds: rd.Dataset, spec: dict, project: list[str] | None = None
+) -> rd.Dataset:
+    """Compose a filter spec into ONE fused ``map_batches`` pass (no chained
+    per-clause Dataset filters — one scan, one mask, optional projection)."""
+
+    def pred(batch: pa.Table) -> pa.Table:
+        out = batch.filter(_spec_mask(batch, spec))
+        return out.select(project) if project else out
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+def paginate(
+    ds: rd.Dataset, sort_key: str, offset: int, limit: int, columns: list[str]
+) -> pd.DataFrame:
+    """Deterministic pagination + projection (filter_engine.py's sayfalama/
+    projeksiyon block): distributed sort, take the first offset+limit rows,
+    drop the offset prefix on the driver. Driver memory is one page plus the
+    offset — bounded by the API's page-depth cap, not by the corpus.
+    """
+    head = ds.select_columns(columns).sort(sort_key).limit(offset + limit).to_pandas()
+    return head.iloc[offset : offset + limit].reset_index(drop=True)
+
+
+def paginate_orders(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    return paginate(
+        ds, "o_orderkey", 100, 20, ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    )
+
+
+#: saved preset, the reference's saved-filter analog (routers/filter.py)
+FILTER_SPEC_PRESET = {
+    "range": [{"col": "o_totalprice", "ge": 50_000.0, "lt": 250_000.0}],
+    "in_set": [{"col": "o_orderpriority", "values": ["1-URGENT", "2-HIGH"]}],
+    "not_contains": [{"col": "o_orderstatus", "terms": ["P"]}],
+    "has": ["o_orderdate"],
+}
+
+
+def filter_spec(sf_dir: str) -> rd.Dataset:
+    """AND-of-facets combinator query: the saved preset over orders."""
+    ds = read_table(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    return apply_filter_spec(
+        ds, FILTER_SPEC_PRESET, project=["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Aggregations (combiner pattern — partial agg inside map_batches)
 # ---------------------------------------------------------------------------
 
@@ -257,6 +358,38 @@ def quality_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+#: missing-rate → status bands (smart_merger.py:516-527: 0 / <5% / <15% /
+#: <40% / else), compared with exact integer arithmetic (100·missing vs
+#: band·total) so the band never depends on float rounding
+_STATUS_BANDS = [(0, "Excellent"), (5, "Very Good"), (15, "Good"), (40, "Poor")]
+
+
+def field_status(n_missing: int, total: int) -> str:
+    if n_missing == 0:
+        return "Excellent"
+    for band, label in _STATUS_BANDS[1:]:
+        if 100 * n_missing < band * total:
+            return label
+    return "Very Poor"
+
+
+def field_status_report(sf_dir: str) -> pd.DataFrame:
+    """Statistic.xlsx Field-Stats analog: per-field missing counts banded into
+    the reference's five status labels, plus an integer basis-point rate
+    (missing_bp = ⌊10000·missing/total⌋ — exact, hash-stable)."""
+    stats = quality_stats(sf_dir)
+    total = (stats["n_filled"] + stats["n_missing"]).astype(np.int64)
+    miss = stats["n_missing"].astype(np.int64)
+    return pd.DataFrame(
+        {
+            "column_name": stats["column_name"],
+            "n_missing": miss,
+            "missing_bp": (miss * 10000) // total,
+            "status": [field_status(int(m), int(t)) for m, t in zip(miss, total)],
+        }
+    )
+
+
 def facets(sf_dir: str) -> pd.DataFrame:
     """compute_facets analog (filter_engine.py:214-247): group counts +
     min/max/avg over a numeric column, per (lang, source)."""
@@ -382,29 +515,62 @@ def brand_revenue(sf_dir: str) -> pd.DataFrame:
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
-def sessionize(sf_dir: str) -> rd.Dataset:
+def sessionize(sf_dir: str, n_parts: int = 64) -> rd.Dataset:
     """Per-user session counts with a 30-minute inactivity gap.
 
-    Composition (a) from the brief: hash-partition by user via groupby, then a
-    per-group vectorized sort+diff — the partitioning assumption is that one
-    user's events fit one group (holds at any realistic user cardinality;
-    skewed power-users are still single-machine-sized).
+    Composition (a) from the brief: coarse hash-partition (``user_id %
+    n_parts`` — a bounded number of groups, not one pandas group per user,
+    which is the per-group-overhead pathology documented in lsh.py), then one
+    vectorized sort + boundary-aware diff over each whole partition. The
+    partitioning assumption is that one user's events land in one partition
+    (trivially true for a hash of the key); a partition holds ~|users|/64
+    users and streams through a single numpy pass.
     """
     ds = read_table(sf_dir, "events", ["user_id", "ts"])
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(group["ts"].astype("datetime64[us]").astype(np.int64).to_numpy())
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > SESSION_GAP_US).sum()) if len(ts) else 0
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_part", pa.array((uid % n_parts).astype(np.int32), type=pa.int32())
+        )
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "n_sessions": pd.Series([], dtype=np.int64),
+                }
+            )
+        uid = part["user_id"].to_numpy(dtype=np.int64)
+        ts = part["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        # one diff over the whole partition; user boundaries reset the gap
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        session_start = new_user.copy()
+        session_start[1:] |= np.diff(ts) > SESSION_GAP_US
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.append(starts, len(uid)))
+        n_sessions = np.add.reduceat(session_start.astype(np.int64), starts)
         return pd.DataFrame(
             {
-                "user_id": [np.int64(group["user_id"].iloc[0])],
-                "n_events": [np.int64(len(ts))],
-                "n_sessions": [np.int64(n_sessions)],
+                "user_id": uid[starts],
+                "n_events": counts.astype(np.int64),
+                "n_sessions": n_sessions,
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda df: per_part(df.drop(columns=["_part"])), batch_format="pandas"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

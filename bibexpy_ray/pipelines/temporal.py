@@ -1,12 +1,17 @@
 """Temporal operators the Dataset API lacks: as-of join, tumbling windows.
 
 Custom-operator recipe (a) from the brief: compose map_batches + broadcast /
-partial aggregation when semantics allow. The as-of join broadcasts the
-build side (orders) as per-key sorted timestamp arrays — a lookup index built
-once via ``ray.put`` — and probes it vectorized per batch with searchsorted;
-the documented partitioning assumption is that the build side's per-key index
-fits one node (at 100 TB: hash-partition both sides on the key and run the
-same probe per partition — the cogroup variant).
+partial aggregation when semantics allow. The as-of join has two
+equivalence-tested paths, dispatched on build-side size:
+
+- **broadcast** (build side ≤ ``ASOF_BROADCAST_LIMIT`` rows): per-key sorted
+  timestamp arrays built once on the driver, shipped via ``ray.put``, probed
+  vectorized per batch with searchsorted.
+- **cogroup** (the 100-TB path): hash-partition BOTH sides on the join key
+  into a bounded number of parts, union with a side tag, then one vectorized
+  merge pass per partition (lexsort + reset-aware forward-max) — no driver
+  index, nothing broadcast; the only shuffle is the single groupby on the
+  coarse partition id.
 """
 
 from __future__ import annotations
@@ -20,11 +25,19 @@ import ray.data as rd
 
 from bibexpy_ray.pipelines.tables import read_table
 
+#: build-side rows above which the as-of join switches from the broadcast
+#: index to the cogrouped merge (driver index memory ∝ build rows)
+ASOF_BROADCAST_LIMIT = 2_000_000
+
 
 def asof_join_events_orders(sf_dir: str) -> pd.DataFrame:
     """For each event: the customer's latest order at-or-before the event time
-    (inner as-of join). Matches DuckDB ``ASOF JOIN`` semantics.
+    (inner as-of join). Matches DuckDB ``ASOF JOIN`` semantics. Dispatches to
+    the cogrouped path when the build side exceeds ``ASOF_BROADCAST_LIMIT``.
     """
+    n_orders = read_table(sf_dir, "orders", ["o_orderkey"]).count()
+    if n_orders > ASOF_BROADCAST_LIMIT:
+        return asof_join_cogroup(sf_dir)
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
     orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
     index: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -74,6 +87,104 @@ def asof_join_events_orders(sf_dir: str) -> pd.DataFrame:
 
     out = events.map_batches(probe, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def asof_join_cogroup(sf_dir: str, n_parts: int = 64) -> pd.DataFrame:
+    """Cogrouped as-of join: hash-partition both sides on the key, one
+    vectorized merge pass per partition.
+
+    Per partition: concatenate build (orders) and probe (events) rows, lexsort
+    by (key, ts, is_probe) so at equal (key, ts) build rows precede probes,
+    take a running forward-max of build row positions, and invalidate carries
+    across key boundaries by checking the carried position falls inside the
+    current key's segment. Ties on ts resolve to the max ``o_orderkey``
+    (build rows sub-sorted by orderkey), matching DuckDB's ``ASOF JOIN`` with
+    the deterministic ORDER BY in the oracle. O(m log m) per partition, fully
+    numpy — no Python loop over keys, no driver state.
+    """
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    events = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column("o_orderdate").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_part": pa.array((key % n_parts).astype(np.int32), type=pa.int32()),
+                "key": pa.array(key),
+                "ts_us": pa.array(ts),
+                "payload": batch.column("o_orderkey").cast(pa.int64()),
+                "is_probe": pa.array(np.zeros(len(key), dtype=bool)),
+            }
+        )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        key = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column("ts").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_part": pa.array((key % n_parts).astype(np.int32), type=pa.int32()),
+                "key": pa.array(key),
+                "ts_us": pa.array(ts),
+                "payload": batch.column("event_id").cast(pa.int64()),
+                "is_probe": pa.array(np.ones(len(key), dtype=bool)),
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        events.map_batches(tag_events, batch_format="pyarrow")
+    )
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype=np.int64),
+                "o_orderkey": pd.Series([], dtype=np.int64),
+            }
+        )
+        if not len(part):
+            return empty
+        key = part["key"].to_numpy(dtype=np.int64)
+        ts = part["ts_us"].to_numpy(dtype=np.int64)
+        payload = part["payload"].to_numpy(dtype=np.int64)
+        is_probe = part["is_probe"].to_numpy(dtype=bool)
+        # at equal (key, ts): builds first (probe matches at-or-before), and
+        # among builds the max orderkey last — forward-max picks it
+        order = np.lexsort((is_probe, payload, ts, key))
+        key, ts, payload, is_probe = (
+            key[order],
+            ts[order],
+            payload[order],
+            is_probe[order],
+        )
+        n = len(key)
+        # running forward-max of build-row positions
+        pos = np.where(~is_probe, np.arange(n), -1)
+        acc = np.maximum.accumulate(pos)
+        # invalidate carries across key boundaries: the carried build position
+        # must sit inside the current row's key segment
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        np.not_equal(key[1:], key[:-1], out=new_key[1:])
+        seg_start = np.maximum.accumulate(np.where(new_key, np.arange(n), -1))
+        valid = is_probe & (acc >= seg_start)
+        out = pd.DataFrame(
+            {"event_id": payload[valid], "o_orderkey": payload[acc[valid]]}
+        )
+        return out if len(out) else empty
+
+    joined = (
+        tagged.groupby("_part")
+        .map_groups(
+            lambda df: per_part(df.drop(columns=["_part"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return joined.sort_values("event_id").reset_index(drop=True)
 
 
 def daily_event_counts(sf_dir: str) -> pd.DataFrame:

@@ -160,3 +160,39 @@ def fingerprint(sf_dir: str, k: int = 8, window: int = 16) -> rd.Dataset:
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def fingerprint_kgrams(sf_dir: str, k: int = 8) -> rd.Dataset:
+    """Distinct char k-gram count per document — the fingerprint pre-image
+    cardinality (the winnowing input set before min-sampling), exposed as an
+    oracle-checkable companion to ``fingerprint``.
+
+    Vectorized: one rolling hash over the batch's flat UTF-8 buffer
+    (hashing.shingle_hashes), per-row distinct count via a single sort over
+    (row, hash). Distinct-hash count equals distinct-gram count (64-bit
+    hashes; a collision within one document is ~n²/2⁶⁴).
+    """
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        flat, offs = hashing.shingle_hashes(batch.column("text"), k)
+        n = batch.num_rows
+        out = np.zeros(n, dtype=np.int64)
+        if flat.size:
+            row_id = np.repeat(
+                np.arange(n, dtype=np.int64), np.diff(offs).astype(np.int64)
+            )
+            order = np.lexsort((flat, row_id))
+            r, h = row_id[order], flat[order]
+            first = np.empty(len(r), dtype=bool)
+            first[0] = True
+            first[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+            np.add.at(out, r[first], 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_kgrams": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow")

@@ -304,6 +304,34 @@ def dedupe_pairs(pairs_ds, num_partitions: int):
     )
 
 
+def dedupe_pairs_manual(pairs_ds, num_partitions: int):
+    """``dedupe_pairs`` via the manual hash shuffle (stages/shuffle.py).
+
+    The per-partition function is a pure vectorized sort+drop_duplicates, so
+    the sort-based groupby's sampling/range-partition coordination dominates
+    its wall time — the manual split/reduce shuffle runs the same reduce 4x
+    faster (measured at a 21.8M-row pair stream, 32 CPUs: 4.5 s vs 18 s).
+    Input should be materialized (the flagship pins the pair stream anyway).
+    """
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            k = hashing.splitmix64(a * np.uint64(1_000_003) ^ b)
+        part = (k % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    def dedupe(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values("dropped", ascending=False, kind="mergesort")
+        out = part.drop_duplicates(subset=["id_a", "id_b"], keep="first")
+        return out[["id_a", "id_b", "dropped"]]
+
+    tagged = pairs_ds.map_batches(add_part, batch_format="pyarrow").materialize()
+    return hash_partition_apply(tagged, num_partitions, dedupe)
+
+
 def add_coarse_partition(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:
     """Append ``_part = hash(key) % P`` — the explicit hash-partitioning column
     for coarse groupby (whole buckets colocate; P bounds group count)."""

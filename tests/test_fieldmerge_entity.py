@@ -166,3 +166,116 @@ def test_arbitrate_clusters_tiers():
     out = arbitrate_clusters(clusters, ids)
     assert list(out["authority_decision"]) == ["merge", "conflict", "unknown"]
     assert list(out["tier"]) == [1, 3, 1]
+
+
+# ---------------------------------------------------------------------------
+# Specialized per-field mergers (MergeDB.py:433-530, :595-664, :210-278)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_language_decision_table():
+    from bibexpy_ray.functions.fieldmerge import merge_language, standardize_language
+
+    # code mapping + multi-language split + sorted-unique rejoin
+    assert standardize_language("ENG; Fre") == "ENGLISH; FRENCH"
+    assert standardize_language(" en ") == "ENGLISH"
+    assert standardize_language("Español") == "SPANISH"  # folds to ESPANOL
+    assert standardize_language("KLINGON") == "KLINGON"  # unmapped passthrough
+    # union of both sources
+    assert merge_language("ENG", "Spanish; GER") == "ENGLISH; GERMAN; SPANISH"
+    # single-source fallbacks
+    assert merge_language("", "zh") == "CHINESE"
+    assert merge_language("JPN", None) == "JAPANESE"
+    # ENGLISH default when both blank
+    assert merge_language("", "") == "ENGLISH"
+    assert merge_language(None, float("nan")) == "ENGLISH"
+
+
+def test_merge_open_access_specific_beats_generic():
+    from bibexpy_ray.functions.fieldmerge import merge_open_access
+
+    # specific tier beats generic OPEN ACCESS, either side
+    assert merge_open_access("OPEN ACCESS", "gold") == "GOLD OPEN ACCESS"
+    assert merge_open_access("Green", "all open access") == "GREEN OPEN ACCESS"
+    # both specific and differing -> WoS wins
+    assert merge_open_access("GOLD", "HYBRID") == "GOLD OPEN ACCESS"
+    # variant normalization
+    assert merge_open_access("publisherfullgold", "") == "GOLD OPEN ACCESS"
+    assert merge_open_access("", "repository") == "GREEN OPEN ACCESS"
+    assert merge_open_access("subscription", "") == "NON OPEN ACCESS"
+    # both blank -> NON OPEN ACCESS
+    assert merge_open_access("", None) == "NON OPEN ACCESS"
+    # unmapped passthrough
+    assert merge_open_access("DIAMOND", "") == "DIAMOND"
+
+
+def test_merge_references_author_year_keying():
+    from bibexpy_ray.functions.fieldmerge import merge_references, reference_key
+
+    # WoS style: Author, YYYY, JOURNAL
+    assert reference_key("Smith J, 2019, J FOO, V1, P1") == "SMITHJ_2019"
+    # Scopus style: Author T., Title (2019)
+    assert reference_key("Smith J., Some title (2019)") == "SMITHJ_2019"
+    # comma after surname -> author token is surname only
+    assert reference_key("Smith, J., Some title (2019)") == "SMITH_2019"
+    # unrecognized -> cleaned whole string
+    assert reference_key("no year here") == "NOYEARHERE"
+
+    wos = "Smith J, 2019, J FOO, V1, P1; Doe A, 2020, J BAR"
+    sco = "Smith J., Some title... (2019); Roe B., Other (2021)"
+    merged = merge_references(wos, sco)
+    parts = merged.split("; ")
+    # same author_year from both sources -> WoS formatting kept, once
+    assert "Smith J, 2019, J FOO, V1, P1" in parts
+    assert not any(p.startswith("Smith J.,") for p in parts)
+    # scopus-only key appended; deterministic order (wos first)
+    assert parts[0].startswith("Smith J")
+    assert "Roe B., Other (2021)" in parts
+    assert len(parts) == 3
+    # empty sides
+    assert merge_references("", sco) == "Smith J., Some title... (2019); Roe B., Other (2021)"
+    assert merge_references(None, None) == ""
+
+
+def test_merge_record_two_source_policies():
+    from bibexpy_ray.functions.fieldmerge import merge_record
+
+    rows = [
+        {"id": "w1", "db": "wos", "LA": "ENG", "OA": "OPEN ACCESS",
+         "CR": "Smith J, 2019, J FOO"},
+        {"id": "s1", "db": "scopus", "LA": "Spanish", "OA": "gold",
+         "CR": "Smith J., T... (2019); Roe B., X (2021)"},
+    ]
+    merged, _ = merge_record(
+        rows,
+        policies={"LA": "language", "OA": "open_access", "CR": "references"},
+        source_field="db",
+        source_order=["wos", "scopus"],
+    )
+    assert merged["LA"] == "ENGLISH; SPANISH"
+    assert merged["OA"] == "GOLD OPEN ACCESS"
+    assert merged["CR"] == "Smith J, 2019, J FOO; Roe B., X (2021)"
+
+
+def test_field_status_bands():
+    from bibexpy_ray.pipelines.relational import field_status
+
+    assert field_status(0, 100) == "Excellent"
+    assert field_status(4, 100) == "Very Good"
+    assert field_status(5, 100) == "Good"      # 5% is NOT < 5
+    assert field_status(14, 100) == "Good"
+    assert field_status(15, 100) == "Poor"     # 15% is NOT < 15
+    assert field_status(39, 100) == "Poor"
+    assert field_status(40, 100) == "Very Poor"
+    assert field_status(100, 100) == "Very Poor"
+
+
+def test_clean_merged_values_parity():
+    from bibexpy_ray.functions.fieldmerge import clean_merged_values
+
+    # case-SENSITIVE dedup, ';' only, strip + drop empties (MergeDB.py:44-61)
+    assert clean_merged_values("a; b ;; a; B") == "a; b; B"
+    assert clean_merged_values("x|y; x|y") == "x|y"  # '|' is not a separator
+    assert clean_merged_values("  ") == ""
+    assert clean_merged_values(None) is None
+    assert clean_merged_values(7) == 7

@@ -53,16 +53,18 @@ def con():
     return c
 
 
-ORACLE_QUERIES = [
-    "filter_range", "filter_in_set", "filter_contains", "filter_fulltext",
-    "filter_quality", "pricing_summary", "year_histogram", "top_event_types",
-    "quality_stats", "facets", "value_buckets", "revenue_by_nation",
-    "brand_revenue", "sessionize", "token_stats", "quality_score",
-    "exact_dedup", "neardup_pairs_char5", "neardup_pairs_word3",
-    "ann_topk", "embedding_neardup",
-    "top_orders", "union_filtered", "coalesce_fill",
-    "asof_join", "daily_event_counts",
-]
+def _oracle_names() -> list[str]:
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__
+
+    return sorted(__ray_entry__.oracle_sql())
+
+
+#: every oracle entry is parity-tested — the list is derived so a new
+#: oracle_sql() row can never silently miss coverage
+ORACLE_QUERIES = _oracle_names()
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -151,3 +153,15 @@ def test_image_decode_stats_phash_consistent(entrymod):
     assert len(out) > 0
     assert bool(out["phash_ok"].all())
     assert (out["w"] == 64).all() and (out["h"] == 64).all()
+
+
+def test_asof_cogroup_matches_broadcast(entrymod):
+    """The cogrouped (100-TB) as-of join path must equal the broadcast path."""
+    from bibexpy_ray.pipelines.temporal import (
+        asof_join_cogroup,
+        asof_join_events_orders,
+    )
+
+    a = asof_join_events_orders(SF_DIR)
+    b = asof_join_cogroup(SF_DIR)
+    pd.testing.assert_frame_equal(a, b)
