@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -119,11 +120,16 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
 def embedding_neardup_pairs(sf_dir: str, tau: float = 0.4) -> pd.DataFrame:
     """All vector pairs with cosine ≥ τ — exact (brute force vs broadcast
     normalized matrix). Output is id-only so it hash-matches the SQL oracle
-    (float scores differ in the last ulp across sum orders)."""
+    (float scores differ in the last ulp across sum orders).
+
+    Above ``BROADCAST_VEC_LIMIT`` the O(n²) exact sweep is not viable on any
+    hardware — delegates to the LSH variant (documented approximation: per-pair
+    scoring stays exact, only candidate *generation* becomes probabilistic,
+    ≈0.96 recall at the default table shape)."""
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     n = ds.count()
     if n > BROADCAST_VEC_LIMIT:  # pragma: no cover - scale path
-        raise NotImplementedError("use embedding_neardup_lsh for very large corpora")
+        return embedding_neardup_lsh(sf_dir, tau)
     full = ds.to_pandas()
     all_ids, all_mat = _embedding_matrix(full)
     all_norm = _normalize(all_mat)
@@ -150,6 +156,70 @@ def embedding_neardup_pairs(sf_dir: str, tau: float = 0.4) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _cosine_verify_ds(
+    pairs: rd.Dataset, ds: rd.Dataset, tau: float, n_vecs: int
+) -> rd.Dataset:
+    """Exact per-pair cosine ≥ τ filter over a candidate pair Dataset.
+
+    Below ``BROADCAST_VEC_LIMIT`` vectors, the normalized matrix broadcasts
+    uid-sorted (``ray.put`` once — a dense float block, not an object-heavy
+    dict) and pairs probe it with a guarded searchsorted. Above it, the
+    embeddings hash-join to each pair side (the same two-sided join pattern as
+    docdedup._verify_jaccard_ds) — no whole-corpus collect at any scale."""
+    pairs = pairs.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+    if n_vecs <= BROADCAST_VEC_LIMIT:
+        tbl = pa.concat_tables(ray.get(ds.to_arrow_refs())).combine_chunks()
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+        )
+        order = np.argsort(ids)
+        ids, nm = ids[order], _normalize(mat[order])
+        ref = ray.put((ids, nm))
+
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            sids, snm = ray.get(ref)
+            a = batch["id_a"].to_numpy(dtype=np.int64)
+            b = batch["id_b"].to_numpy(dtype=np.int64)
+            ia = np.minimum(np.searchsorted(sids, a), len(sids) - 1)
+            ib = np.minimum(np.searchsorted(sids, b), len(sids) - 1)
+            ok = (sids[ia] == a) & (sids[ib] == b)
+            if not ok.all():  # unknown ids can't verify (resume/drift guard)
+                a, b, ia, ib = a[ok], b[ok], ia[ok], ib[ok]
+            sims = np.einsum("ij,ij->i", snm[ia], snm[ib])
+            keep = sims >= tau
+            return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+        return pairs.map_batches(verify, batch_format="pandas")
+    # scale path: hash-partitioned joins of the vectors to each pair side
+    n_parts = max(8, n_vecs // 500_000)  # pragma: no cover - scale path
+
+    def side(key: str):
+        return ds.map_batches(
+            lambda df, k=key: df.rename(columns={"vec_id": k, "embedding": f"emb{k[2:]}"}),
+            batch_format="pandas",
+        )
+
+    joined = pairs.join(side("id_a"), "inner", n_parts, on=("id_a",)).join(
+        side("id_b"), "inner", n_parts, on=("id_b",)
+    )
+
+    def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        na = _normalize(np.vstack([np.asarray(v, np.float64) for v in batch["emb_a"]]))
+        nb = _normalize(np.vstack([np.asarray(v, np.float64) for v in batch["emb_b"]]))
+        keep = np.einsum("ij,ij->i", na, nb) >= tau
+        return pd.DataFrame(
+            {
+                "id_a": batch["id_a"].to_numpy(dtype=np.int64)[keep],
+                "id_b": batch["id_b"].to_numpy(dtype=np.int64)[keep],
+            }
+        )
+
+    return joined.map_batches(verify_joined, batch_format="pandas")
+
+
 def embedding_neardup_lsh(
     sf_dir: str, tau: float = 0.4, n_tables: int = 16, planes_per_table: int = 4
 ) -> pd.DataFrame:
@@ -157,53 +227,61 @@ def embedding_neardup_lsh(
     tables of ``planes_per_table`` sign bits each (deterministic seed); a pair
     is scored iff it collides in at least one table. Collision probability per
     table is (1-θ/π)^p — 16 tables × 4 planes gives ≈0.96 recall at cos 0.45.
-    Approximate by design; compared against the exact variant in tests."""
+    Approximate by design; compared against the exact variant in tests.
+
+    Scale shape: bucket rows are (bucket_key, vec_id) ONLY — embeddings never
+    ride the shuffle (n_tables copies of each vector otherwise). Pair emission
+    is capped per bucket with the dropped count carried through the distributed
+    dedupe; each distinct pair is cosine-scored exactly once by
+    ``_cosine_verify_ds`` (broadcast matrix under the cap, hash-join above)."""
+    from bibexpy_ray.pipelines.docdedup import IntBucketPairEmitter, _dedupe_int_pairs
+
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()
     rng = np.random.default_rng(42)
     first = ds.take(1)
     dim = len(first[0]["embedding"])
     planes = rng.standard_normal((dim, n_tables * planes_per_table))
     planes_ref = ray.put(planes)
+    n_parts = 32
 
-    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+    def bucket(batch: pd.DataFrame) -> pa.Table:
         pl = ray.get(planes_ref)
         ids, mat = _embedding_matrix(batch)
         signs = (mat @ pl) >= 0  # (n, tables*p)
-        out = []
+        # key = table_id in the high bits, the table's sign pattern below
+        bits = signs.astype(np.uint64)
+        keys = np.empty((len(ids), n_tables), dtype=np.uint64)
         for t in range(n_tables):
-            seg = signs[:, t * planes_per_table : (t + 1) * planes_per_table]
             key = np.full(len(ids), t, dtype=np.uint64)
-            for j in range(seg.shape[1]):
-                key = (key << np.uint64(1)) | seg[:, j].astype(np.uint64)
-            out.append(
-                pd.DataFrame(
-                    {"bucket": key.view(np.int64), "vec_id": ids, "embedding": list(mat)}
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+            for j in range(t * planes_per_table, (t + 1) * planes_per_table):
+                key = (key << np.uint64(1)) | bits[:, j]
+            keys[:, t] = key
+        # sortkey = full sign pattern of table 0: similar vectors share a
+        # prefix, keeping near neighbors adjacent in hot-bucket windows
+        sk = keys[:, 0]
+        return pa.table(
+            {
+                "bucket_key": pa.array(keys.ravel(), type=pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, n_tables), type=pa.int64()),
+                "sortkey": pa.array(np.repeat(sk, n_tables), type=pa.uint64()),
+            }
+        )
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["vec_id"].to_numpy(dtype=np.int64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype=np.int64),
-                    "id_b": pd.Series([], dtype=np.int64),
-                }
-            )
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in group["embedding"]])
-        nm = _normalize(mat)
-        sims = nm @ nm.T
-        ri, ci = np.nonzero(np.triu(sims >= tau, k=1))
-        a, b = ids[ri], ids[ci]
-        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column("bucket_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (hashing.splitmix64(k) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
 
-    out = (
+    emitter = IntBucketPairEmitter()
+    raw_pairs = (
         ds.map_batches(bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(lambda df: emitter(df), batch_format="pandas")
     )
+    pairs = _dedupe_int_pairs(raw_pairs, n_parts, agg={"dropped": "max"})
+    out = _cosine_verify_ds(pairs, ds, tau, n).to_pandas()
     if len(out) == 0:
         return pd.DataFrame(
             {
@@ -211,5 +289,4 @@ def embedding_neardup_lsh(
                 "id_b": pd.Series([], dtype=np.int64),
             }
         )
-    out = out.drop_duplicates(subset=["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -547,7 +547,12 @@ def dedup_images(
         mask = lose[pos] != uids
         return batch.filter(pa.array(mask))
 
-    reps = features.map_batches(drop_losers, batch_format="pyarrow")
+    # pin reps too: four consumers (LSH bucket emit, containment, verify
+    # feature join, schema fetch) would each re-run the filter as a separate
+    # Ray job — ~0.5 s of fixed execution cost per consumer regardless of CPU
+    # count (a pure serial term in the scaling ratio). Same bounded-size
+    # argument as the features pin (bytes never enter this table).
+    reps = features.map_batches(drop_losers, batch_format="pyarrow").materialize()
 
     # ---- candidate generation ----------------------------------------------
     def candidates_stage():
@@ -745,16 +750,20 @@ def dedup_images(
     # borderline/auto filters below — never collected whole to the driver
     verified = checkpoint("verified", verify_stage).materialize()
     _lap("s_verify_exec")
-    borderline_ds = verified.map_batches(
-        lambda df: df[df["stage"] == "5_borderline"], batch_format="pandas"
-    )
-    auto_edges_ds = verified.map_batches(
-        lambda df: df.loc[
-            (df["stage"] != "5_borderline") & (df["confidence"] >= 0.9),
-            ["id_a", "id_b"],
-        ],
-        batch_format="pandas",
-    )
+    import pyarrow.compute as pc
+
+    def _filter_borderline(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("stage"), "5_borderline"))
+
+    def _filter_auto(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.not_equal(t.column("stage"), "5_borderline"),
+            pc.greater_equal(t.column("confidence"), 0.9),
+        )
+        return t.filter(mask).select(["id_a", "id_b"])
+
+    borderline_ds = verified.map_batches(_filter_borderline, batch_format="pyarrow")
+    auto_edges_ds = verified.map_batches(_filter_auto, batch_format="pyarrow")
     metrics["candidate_edges"] = int(edges_raw.count())
     _lap("s_verify_split")
 
@@ -790,17 +799,33 @@ def dedup_images(
         # transits the driver
         from bibexpy_ray.stages.unionfind import clusters_driver_arrays
 
-        auto_pd = auto_edges_ds.to_pandas()
-        ea = auto_pd["id_a"].to_numpy(dtype=object)
-        eb = auto_pd["id_b"].to_numpy(dtype=object)
+        # arrow-refs collect: the filtered blocks come back as Arrow (no
+        # pandas conversion job) and only the two id columns materialize.
+        # Zero-row pandas blocks can pass the filter UDF through unchanged,
+        # so coerce any stray DataFrame block before concatenating.
+        blocks = [
+            b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            for b in ray.get(auto_edges_ds.to_arrow_refs())
+        ]
+        auto_tbl = pa.concat_tables(blocks, promote_options="default")
+        n_auto = auto_tbl.num_rows
+        if "id_a" in auto_tbl.schema.names:
+            ea = auto_tbl.column("id_a").to_numpy(zero_copy_only=False)
+            eb = auto_tbl.column("id_b").to_numpy(zero_copy_only=False)
+        else:  # every block was a schema-less zero-row passthrough
+            ea = np.empty(0, dtype=object)
+            eb = np.empty(0, dtype=object)
+        _lap("s_uf_collect")
         if len(exact_pd):
             ea = np.concatenate([ea, exact_pd["id_a"].to_numpy(dtype=object)])
             eb = np.concatenate([eb, exact_pd["id_b"].to_numpy(dtype=object)])
         members, canon = clusters_driver_arrays(ea, eb)
         labels = ClusterLabels(members=members, canon=canon)
-        metrics["clusters"] = int(len(np.unique(canon)))
-        metrics["verified_auto"] = int(len(auto_pd))
-        metrics["borderline"] = n_verified - len(auto_pd)
+        # hash-based distinct count — np.unique would re-SORT the canon
+        # strings (python compares) just to count them
+        metrics["clusters"] = int(len(pd.unique(canon)))
+        metrics["verified_auto"] = int(n_auto)
+        metrics["borderline"] = n_verified - n_auto
     _lap("s_unionfind")
 
     # ---- survivor selection -------------------------------------------------

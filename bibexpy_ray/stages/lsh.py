@@ -315,21 +315,21 @@ def dedupe_pairs_manual(pairs_ds, num_partitions: int):
     """
     from bibexpy_ray.stages.shuffle import hash_partition_apply
 
-    def add_part(batch: pa.Table) -> pa.Table:
+    def pair_key(batch: pa.Table) -> np.ndarray:
         a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             k = hashing.splitmix64(a * np.uint64(1_000_003) ^ b)
-        part = (k % np.uint64(num_partitions)).astype(np.int32)
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+        return (k % np.uint64(num_partitions)).astype(np.int32)
 
     def dedupe(part: pd.DataFrame) -> pd.DataFrame:
         part = part.sort_values("dropped", ascending=False, kind="mergesort")
         out = part.drop_duplicates(subset=["id_a", "id_b"], keep="first")
         return out[["id_a", "id_b", "dropped"]]
 
-    tagged = pairs_ds.map_batches(add_part, batch_format="pyarrow").materialize()
-    return hash_partition_apply(tagged, num_partitions, dedupe)
+    # key_fn fuses the partition tagging into the split task itself — no
+    # separate tagging map pass, no extra object-store copy of the pair stream
+    return hash_partition_apply(pairs_ds, num_partitions, dedupe, key_fn=pair_key)
 
 
 def add_coarse_partition(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:

@@ -35,6 +35,7 @@ def hash_partition_apply(
     num_partitions: int,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     part_col: str = "_part",
+    key_fn: Callable[[pa.Table], "np.ndarray"] | None = None,
 ) -> rd.Dataset:
     """Apply ``fn`` once per hash partition (``part_col`` in [0, P)).
 
@@ -42,12 +43,26 @@ def hash_partition_apply(
     dropped before ``fn`` — proven by tests/test_unionfind.py's shuffle
     equivalence test — but with no global sort. Returns a Dataset built from
     the reduce outputs (deterministic partition order).
+
+    ``key_fn`` (optional) computes the partition-id array from each block
+    INSIDE the split task — fusing the tagging map into the shuffle's map side
+    saves a full extra pass + object-store copy of the input. When given,
+    ``part_col`` need not exist in the input.
     """
     P = int(num_partitions)
 
     @ray.remote
     def _split(tbl: pa.Table):
-        part = tbl.column(part_col).to_numpy(zero_copy_only=False)
+        has_col = part_col in tbl.schema.names
+        if tbl.num_rows == 0 or (key_fn is None and not has_col):
+            # zero-row blocks pass through upstream map_batches without the
+            # UDF running (so part_col may be absent, schema possibly empty)
+            empty = tbl.slice(0, 0)
+            return tuple(empty for _ in range(P))
+        if key_fn is not None:
+            part = np.asarray(key_fn(tbl))
+        else:
+            part = tbl.column(part_col).to_numpy(zero_copy_only=False)
         order = np.argsort(part, kind="stable")
         st = tbl.take(pa.array(order)).combine_chunks()
         sp = part[order]
@@ -62,8 +77,12 @@ def hash_partition_apply(
         tbl = (
             pa.concat_tables(non_empty, promote_options="default")
             if non_empty
-            else parts[0]  # empty slice keeps the input schema
+            # widest empty slice keeps the real input schema (schema-less
+            # empties can coexist with it — see _split's passthrough)
+            else max(parts, key=lambda p: p.num_columns)
         )
+        if tbl.num_columns == 0:
+            return tbl  # all inputs were schema-less empties; nothing to do
         df = tbl.to_pandas()
         if part_col in df.columns:
             df = df.drop(columns=[part_col])
