@@ -509,14 +509,25 @@ def dedup_images(
                 return _exact_group_edges(part.iloc[:0])
             return pd.concat(outs, ignore_index=True)
 
-        return (
-            features.select_columns(["image_id", "_caption_hash", "phash", "_authority"])
-            .map_batches(
-                lambda b: add_coarse_partition(b, "_caption_hash", n_coarse),
-                batch_format="pyarrow",
+        from bibexpy_ray.functions import hashing as _hashing
+        from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+        def key(b: pa.Table) -> np.ndarray:
+            k = b.column("_caption_hash").to_numpy(zero_copy_only=False).astype(
+                np.uint64, copy=False
             )
-            .groupby("_part")
-            .map_groups(exact_partition, batch_format="pandas")
+            return (_hashing.splitmix64(k) % np.uint64(n_coarse)).astype(np.int32)
+
+        # manual hash shuffle instead of the sort-based groupby: the reduce is
+        # a pure vectorized segment scan, so the sort machinery's sampling and
+        # range coordination was most of the stage's wall time
+        return hash_partition_apply(
+            features.select_columns(
+                ["image_id", "_caption_hash", "phash", "_authority"]
+            ),
+            n_coarse,
+            exact_partition,
+            key_fn=key,
         )
 
     exact_edges = checkpoint("exact_edges", exact_stage)
@@ -581,16 +592,24 @@ def dedup_images(
             # bucket groupby + containment groupby + pair dedupe into ONE
             # streaming DAG thrashes badly at low CPU counts (measured 5x
             # slower at 8 CPUs); pairs are ids-only — cheap to pin
-            t0 = _time.time()
-            out = (
-                bucket_rows.map_batches(
-                    lambda b: add_coarse_partition(b, "bucket_key", n_coarse),
-                    batch_format="pyarrow",
+            from bibexpy_ray.functions import hashing as _hashing
+            from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+            def bucket_part(b: pa.Table) -> np.ndarray:
+                k = b.column("bucket_key").to_numpy(zero_copy_only=False).astype(
+                    np.uint64, copy=False
                 )
-                .groupby("_part")
-                .map_groups(emit_pairs, batch_format="pandas")
-                .materialize()
-            )
+                return (_hashing.splitmix64(k) % np.uint64(n_coarse)).astype(
+                    np.int32
+                )
+
+            t0 = _time.time()
+            # manual hash shuffle (not sort-groupby): whole buckets colocate
+            # by bucket_key hash exactly as before, without the sort's
+            # sample/range-partition coordination
+            out = hash_partition_apply(
+                bucket_rows, n_coarse, emit_pairs, key_fn=bucket_part
+            ).materialize()
             metrics["s_cand_lsh"] = round(_time.time() - t0, 2)
             return out
 
@@ -797,7 +816,7 @@ def dedup_images(
         # edge), then vectorized driver connected components — the
         # measured-fastest path at bench scale; above the cap nothing
         # transits the driver
-        from bibexpy_ray.stages.unionfind import clusters_driver_arrays
+        from bibexpy_ray.stages.unionfind import clusters_driver_arrow
 
         # arrow-refs collect: the filtered blocks come back as Arrow (no
         # pandas conversion job) and only the two id columns materialize.
@@ -809,21 +828,34 @@ def dedup_images(
         ]
         auto_tbl = pa.concat_tables(blocks, promote_options="default")
         n_auto = auto_tbl.num_rows
-        if "id_a" in auto_tbl.schema.names:
-            ea = auto_tbl.column("id_a").to_numpy(zero_copy_only=False)
-            eb = auto_tbl.column("id_b").to_numpy(zero_copy_only=False)
-        else:  # every block was a schema-less zero-row passthrough
-            ea = np.empty(0, dtype=object)
-            eb = np.empty(0, dtype=object)
+        if "id_a" not in auto_tbl.schema.names:
+            # every block was a schema-less zero-row passthrough
+            auto_tbl = pa.table(
+                {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+            )
+        else:
+            auto_tbl = auto_tbl.select(["id_a", "id_b"])
         _lap("s_uf_collect")
         if len(exact_pd):
-            ea = np.concatenate([ea, exact_pd["id_a"].to_numpy(dtype=object)])
-            eb = np.concatenate([eb, exact_pd["id_b"].to_numpy(dtype=object)])
-        members, canon = clusters_driver_arrays(ea, eb)
+            auto_tbl = pa.concat_tables(
+                [
+                    auto_tbl,
+                    pa.table(
+                        {
+                            "id_a": pa.array(exact_pd["id_a"], pa.string()),
+                            "id_b": pa.array(exact_pd["id_b"], pa.string()),
+                        }
+                    ),
+                ],
+                promote_options="default",
+            )
+        # Arrow-native CC: endpoints stay dictionary codes; only the V unique
+        # member strings become Python objects (vs 2E with the numpy path)
+        members, canon, n_clusters = clusters_driver_arrow(
+            auto_tbl.column("id_a"), auto_tbl.column("id_b")
+        )
         labels = ClusterLabels(members=members, canon=canon)
-        # hash-based distinct count — np.unique would re-SORT the canon
-        # strings (python compares) just to count them
-        metrics["clusters"] = int(len(pd.unique(canon)))
+        metrics["clusters"] = n_clusters
         metrics["verified_auto"] = int(n_auto)
         metrics["borderline"] = n_verified - n_auto
     _lap("s_unionfind")

@@ -315,6 +315,15 @@ def dedupe_pairs_manual(pairs_ds, num_partitions: int):
     """
     from bibexpy_ray.stages.shuffle import hash_partition_apply
 
+    # size P to the pair volume, not the CPU count: with B input blocks the
+    # shuffle creates B x P objects, and at small volumes that bookkeeping IS
+    # the wall time (measured flat ~3.4 s at 2M pairs / P=64 regardless of
+    # CPUs). ~250k rows per reduce keeps the vectorized drop_duplicates cheap
+    # while the object count stays O(B x volume/250k) — grows with data, as a
+    # shuffle's map-side output must.
+    n_pairs = pairs_ds.count()
+    num_partitions = max(8, min(int(num_partitions), n_pairs // 250_000 + 1))
+
     def pair_key(batch: pa.Table) -> np.ndarray:
         a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -328,8 +337,12 @@ def dedupe_pairs_manual(pairs_ds, num_partitions: int):
         return out[["id_a", "id_b", "dropped"]]
 
     # key_fn fuses the partition tagging into the split task itself — no
-    # separate tagging map pass, no extra object-store copy of the pair stream
-    return hash_partition_apply(pairs_ds, num_partitions, dedupe, key_fn=pair_key)
+    # separate tagging map pass, no extra object-store copy of the pair
+    # stream; rows_per_block re-splits the few large reduce outputs so the
+    # downstream verify task-pool still sees enough blocks for every CPU
+    return hash_partition_apply(
+        pairs_ds, num_partitions, dedupe, key_fn=pair_key, rows_per_block=65536
+    )
 
 
 def add_coarse_partition(batch: pa.Table, key: str, num_partitions: int) -> pa.Table:

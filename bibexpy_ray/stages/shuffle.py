@@ -36,6 +36,7 @@ def hash_partition_apply(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     part_col: str = "_part",
     key_fn: Callable[[pa.Table], "np.ndarray"] | None = None,
+    rows_per_block: int | None = None,
 ) -> rd.Dataset:
     """Apply ``fn`` once per hash partition (``part_col`` in [0, P)).
 
@@ -48,11 +49,20 @@ def hash_partition_apply(
     INSIDE the split task — fusing the tagging map into the shuffle's map side
     saves a full extra pass + object-store copy of the input. When given,
     ``part_col`` need not exist in the input.
+
+    ``rows_per_block`` (optional) splits each reduce output into blocks of at
+    most that many rows (dynamic returns) — use when P is sized for shuffle
+    economy (few, large partitions) but a downstream task-pool map needs more
+    blocks than P to keep all CPUs busy.
     """
     P = int(num_partitions)
 
     @ray.remote
     def _split(tbl: pa.Table):
+        if isinstance(tbl, pd.DataFrame):
+            # to_arrow_refs hands back raw pandas blocks from pandas-format
+            # upstream stages (including zero-row UDF passthroughs)
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
         has_col = part_col in tbl.schema.names
         if tbl.num_rows == 0 or (key_fn is None and not has_col):
             # zero-row blocks pass through upstream map_batches without the
@@ -71,8 +81,7 @@ def hash_partition_apply(
             st.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P)
         )
 
-    @ray.remote
-    def _reduce(*parts: pa.Table) -> pa.Table:
+    def _reduce_impl(parts) -> pa.Table:
         non_empty = [p for p in parts if p.num_rows]
         tbl = (
             pa.concat_tables(non_empty, promote_options="default")
@@ -89,9 +98,30 @@ def hash_partition_apply(
         out = fn(df)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    @ray.remote
+    def _reduce(*parts: pa.Table) -> pa.Table:
+        return _reduce_impl(parts)
+
+    @ray.remote(num_returns="dynamic")
+    def _reduce_split(*parts: pa.Table):
+        out = _reduce_impl(parts)
+        if out.num_rows <= rows_per_block:
+            yield out
+            return
+        for lo in range(0, out.num_rows, rows_per_block):
+            # from_pandas hop compacts each slice's buffers so serialized
+            # blocks don't drag the whole partition's arrays along
+            yield pa.Table.from_pandas(
+                out.slice(lo, rows_per_block).to_pandas(), preserve_index=False
+            )
+
     blocks = ds.to_arrow_refs()
     if not blocks:
         return ds
     splits = [_split.options(num_returns=P).remote(b) for b in blocks]
-    reduced = [_reduce.remote(*[s[i] for s in splits]) for i in range(P)]
+    if rows_per_block is None:
+        reduced = [_reduce.remote(*[s[i] for s in splits]) for i in range(P)]
+        return rd.from_arrow_refs(reduced)
+    gens = [_reduce_split.remote(*[s[i] for s in splits]) for i in range(P)]
+    reduced = [ref for g in ray.get(gens) for ref in g]
     return rd.from_arrow_refs(reduced)

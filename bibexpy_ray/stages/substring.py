@@ -240,14 +240,25 @@ def containment_candidates(
     broadcast = n_rows <= broadcast_limit
     cap_ref = None
     if broadcast:
+        # uid hashing runs in WORKERS (parallel, warm allocators) — on this
+        # class of sandbox a fresh process's first large numpy allocation
+        # pays ~25x in page-fault cost, so a driver-side text_hash_u64 over
+        # the whole corpus was ~3.5 s of pure serial time; the driver now
+        # only argsorts+takes the collected table (C-speed, ~0.1 s)
+        def add_uid(b: pa.Table) -> pa.Table:
+            u = hashing.text_hash_u64(b.column("image_id"))
+            return b.append_column("_cap_uid", pa.array(u, type=pa.uint64()))
+
         tbl = pa.concat_tables(
             ray.get(
-                features.select_columns(["image_id", "_norm_caption"]).to_arrow_refs()
+                features.select_columns(["image_id", "_norm_caption"])
+                .map_batches(add_uid, batch_format="pyarrow")
+                .to_arrow_refs()
             )
         ).combine_chunks()
-        uids = hashing.text_hash_u64(tbl.column("image_id"))
+        uids = tbl.column("_cap_uid").to_numpy(zero_copy_only=False)
         order = np.argsort(uids)
-        tbl = tbl.take(pa.array(order)).combine_chunks()
+        tbl = tbl.take(pa.array(order)).drop_columns(["_cap_uid"]).combine_chunks()
         cap_ref = ray.put((uids[order], tbl))
 
     def emit_keys(batch: pa.Table) -> pa.Table:
@@ -311,8 +322,12 @@ def containment_candidates(
         out = pd.concat(outs, ignore_index=True)
         return out.groupby(["id_a", "id_b"], as_index=False)["dropped"].max()
 
-    return (
-        features.map_batches(emit_keys, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(per_part, batch_format="pandas")
+    # manual hash shuffle on the precomputed _part column — same colocated
+    # buckets as groupby("_part").map_groups without the sort machinery
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    return hash_partition_apply(
+        features.map_batches(emit_keys, batch_format="pyarrow"),
+        n_parts,
+        per_part,
     )

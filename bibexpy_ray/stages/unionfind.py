@@ -95,6 +95,70 @@ def clusters_driver_arrays(id_a, id_b):
     return ids, ids[lab]
 
 
+def clusters_driver_arrow(col_a, col_b):
+    """``clusters_driver_arrays`` taking Arrow string columns directly.
+
+    Avoids materializing 2E Python strings for the edge endpoints: the
+    combined endpoint column is ``dictionary_encode``d (C-speed hash), the
+    self-edge filter and connected components run on int32 codes, and only
+    the V unique member strings (V ≤ 2E, typically ≪) ever become Python
+    objects — once, at the end. Returns (members, canon, n_clusters); the
+    member/canon arrays are identical to ``clusters_driver_arrays`` on the
+    same edges (tests/test_unionfind.py equivalence).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _empty():
+        e = np.empty(0, dtype=object)
+        return e, e, 0
+
+    def _as_array(c):
+        if isinstance(c, pa.ChunkedArray):
+            return c.combine_chunks()
+        return c
+
+    col_a, col_b = _as_array(col_a), _as_array(col_b)
+    n = len(col_a)
+    if n == 0:
+        return _empty()
+    combined = pa.chunked_array([col_a, col_b]).combine_chunks()
+    enc = combined.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = enc.dictionary
+    ca, cb = codes[:n], codes[n:]
+    # self-edges carry no information; endpoints seen only in self-edges drop
+    keep = ca != cb
+    ca, cb = ca[keep], cb[keep]
+    if len(ca) == 0:
+        return _empty()
+    # compact to the used endpoint set, ranked by STRING sort order so the
+    # min integer label == min member string (the union-by-min rule)
+    used = np.unique(np.concatenate([ca, cb]))
+    sub = dic.take(pa.array(used))
+    order = pc.sort_indices(sub).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(used), dtype=np.int64)
+    rank[order] = np.arange(len(used))
+    ai = rank[np.searchsorted(used, ca)]
+    bi = rank[np.searchsorted(used, cb)]
+    ids = sub.take(pa.array(order)).to_numpy(zero_copy_only=False)
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[ai], lab[bi])
+        before = lab.copy()
+        np.minimum.at(lab, ai, m)
+        np.minimum.at(lab, bi, m)
+        for _ in range(3):
+            nxt = lab[lab]
+            if (nxt == lab).all():
+                break
+            lab = nxt
+        if (lab == before).all():
+            break
+    return ids, ids[lab], int(len(np.unique(lab)))
+
+
 def clusters_distributed(edges_ds, max_rounds: int = 20):
     """Min-label propagation over an edges Dataset (id_a, id_b) -> Dataset
     (image_id, cluster_id).
