@@ -68,9 +68,10 @@ class ClusterLabels:
 
     def __init__(
         self,
-        members: np.ndarray | None = None,
+        members: "np.ndarray | pa.Array | None" = None,
         canon: np.ndarray | None = None,
         labels_ds: rd.Dataset | None = None,
+        canon_codes: np.ndarray | None = None,
     ):
         self._labels_ds = labels_ds
         self._ref = None
@@ -81,6 +82,24 @@ class ClusterLabels:
                 self._uids = np.empty(0, dtype=np.uint64)
                 self._members = np.empty(0, dtype=object)
                 self._canon = np.empty(0, dtype=object)
+            elif isinstance(members, (pa.Array, pa.ChunkedArray)):
+                # Arrow fast path (the driver-CC output): hash/take stay in
+                # C — no Python string list is ever built. ``canon_codes``
+                # indexes members (members[canon_codes[i]] is i's canonical).
+                if isinstance(members, pa.ChunkedArray):
+                    members = members.combine_chunks()
+                uids = text_hash_u64(members)
+                order = np.argsort(uids)
+                self._uids = uids[order]
+                self._members = members.take(pa.array(order)).to_numpy(
+                    zero_copy_only=False
+                )
+                canon_arr = (
+                    members.take(pa.array(canon_codes[order]))
+                    if canon_codes is not None
+                    else pa.array(np.asarray(canon, dtype=object)[order])
+                )
+                self._canon = canon_arr.to_numpy(zero_copy_only=False)
             else:
                 uids = text_hash_u64(list(members))
                 order = np.argsort(uids)
@@ -851,10 +870,12 @@ def dedup_images(
             )
         # Arrow-native CC: endpoints stay dictionary codes; only the V unique
         # member strings become Python objects (vs 2E with the numpy path)
-        members, canon, n_clusters = clusters_driver_arrow(
+        members, lab_codes, n_clusters = clusters_driver_arrow(
             auto_tbl.column("id_a"), auto_tbl.column("id_b")
         )
-        labels = ClusterLabels(members=members, canon=canon)
+        _lap("s_uf_cc")
+        labels = ClusterLabels(members=members, canon_codes=lab_codes)
+        _lap("s_uf_labels")
         metrics["clusters"] = n_clusters
         metrics["verified_auto"] = int(n_auto)
         metrics["borderline"] = n_verified - n_auto
@@ -864,29 +885,26 @@ def dedup_images(
     from bibexpy_ray.functions.hashing import text_hash_u64
     from bibexpy_ray.stages.survivor import survivors_partition
 
-    def add_cluster_part(df: pd.DataFrame) -> pd.DataFrame:
-        h = text_hash_u64(df["cluster_id"].tolist())
-        df = df.copy()
-        df["_part"] = (h % np.uint64(n_coarse)).astype(np.int32)
-        return df
+    def cluster_key(b: pa.Table) -> np.ndarray:
+        h = text_hash_u64(b.column("cluster_id"))
+        return (h % np.uint64(n_coarse)).astype(np.int32)
 
     # coarse hash partition on cluster_id: whole clusters colocate, the
-    # per-partition reduce is vectorized over many clusters at once
+    # per-partition reduce is vectorized over many clusters at once (manual
+    # hash shuffle — same colocation as a sort-groupby without its sampling
+    # and range coordination)
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
     members_ds = labels.attach(
         features.select_columns(["image_id", "fmt", "caption"]),
         members_only=True,
     )
-    clusters_ds = (
-        members_ds.map_batches(add_cluster_part, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(
-            lambda df: survivors_partition(
-                df[["cluster_id", "image_id", "fmt", "caption"]]
-            ),
-            batch_format="pandas",
-        )
-        .materialize()
-    )
+    clusters_ds = hash_partition_apply(
+        members_ds,
+        n_coarse,
+        lambda df: survivors_partition(df[["cluster_id", "image_id", "fmt", "caption"]]),
+        key_fn=cluster_key,
+    ).materialize()
 
     _lap("s_survivor")
     if rdir is not None:

@@ -341,7 +341,7 @@ def dedupe_pairs_manual(pairs_ds, num_partitions: int):
     # stream; rows_per_block re-splits the few large reduce outputs so the
     # downstream verify task-pool still sees enough blocks for every CPU
     return hash_partition_apply(
-        pairs_ds, num_partitions, dedupe, key_fn=pair_key, rows_per_block=65536
+        pairs_ds, num_partitions, dedupe, key_fn=pair_key, rows_per_block=16384
     )
 
 

@@ -100,19 +100,19 @@ def clusters_driver_arrow(col_a, col_b):
 
     Avoids materializing 2E Python strings for the edge endpoints: the
     combined endpoint column is ``dictionary_encode``d (C-speed hash), the
-    self-edge filter and connected components run on int32 codes, and only
-    the V unique member strings (V ≤ 2E, typically ≪) ever become Python
-    objects — once, at the end. Returns (members, canon, n_clusters); the
-    member/canon arrays are identical to ``clusters_driver_arrays`` on the
-    same edges (tests/test_unionfind.py equivalence).
+    self-edge filter and connected components run on int32 codes, and NO
+    Python string objects are created at all — the result stays Arrow.
+    Returns ``(members: pa.StringArray, lab: np.int64 codes, n_clusters)``
+    where member ``i``'s canonical id is ``members[lab[i]]`` (members are
+    string-sorted, so the min label == min member string). Equivalent to
+    ``clusters_driver_arrays`` on the same edges (tests/test_unionfind.py).
     """
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     def _empty():
-        e = np.empty(0, dtype=object)
-        return e, e, 0
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64), 0
 
     def _as_array(c):
         if isinstance(c, pa.ChunkedArray):
@@ -142,7 +142,7 @@ def clusters_driver_arrow(col_a, col_b):
     rank[order] = np.arange(len(used))
     ai = rank[np.searchsorted(used, ca)]
     bi = rank[np.searchsorted(used, cb)]
-    ids = sub.take(pa.array(order)).to_numpy(zero_copy_only=False)
+    ids = sub.take(pa.array(order))
     lab = np.arange(len(ids), dtype=np.int64)
     while True:
         m = np.minimum(lab[ai], lab[bi])
@@ -156,7 +156,7 @@ def clusters_driver_arrow(col_a, col_b):
             lab = nxt
         if (lab == before).all():
             break
-    return ids, ids[lab], int(len(np.unique(lab)))
+    return ids, lab, int(len(np.unique(lab)))
 
 
 def clusters_distributed(edges_ds, max_rounds: int = 20):
