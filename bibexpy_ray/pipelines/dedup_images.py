@@ -78,10 +78,15 @@ class ClusterLabels:
         if members is not None:
             from bibexpy_ray.functions.hashing import text_hash_u64
 
+            # members/canon live as ARROW string arrays: ray.put serializes
+            # Arrow buffers zero-copy (~ms), where an object-dtype numpy array
+            # of the same strings pickles every PyObject (seconds at ~1M
+            # members — measured as a FLAT ~10 s survivor stage at both
+            # parallelism levels, i.e. pure serial time in the scaling ratio)
             if len(members) == 0:
                 self._uids = np.empty(0, dtype=np.uint64)
-                self._members = np.empty(0, dtype=object)
-                self._canon = np.empty(0, dtype=object)
+                self._members = pa.array([], type=pa.string())
+                self._canon = pa.array([], type=pa.string())
             elif isinstance(members, (pa.Array, pa.ChunkedArray)):
                 # Arrow fast path (the driver-CC output): hash/take stay in
                 # C — no Python string list is ever built. ``canon_codes``
@@ -91,21 +96,22 @@ class ClusterLabels:
                 uids = text_hash_u64(members)
                 order = np.argsort(uids)
                 self._uids = uids[order]
-                self._members = members.take(pa.array(order)).to_numpy(
-                    zero_copy_only=False
-                )
-                canon_arr = (
+                self._members = members.take(pa.array(order))
+                self._canon = (
                     members.take(pa.array(canon_codes[order]))
                     if canon_codes is not None
                     else pa.array(np.asarray(canon, dtype=object)[order])
                 )
-                self._canon = canon_arr.to_numpy(zero_copy_only=False)
             else:
                 uids = text_hash_u64(list(members))
                 order = np.argsort(uids)
                 self._uids = uids[order]
-                self._members = np.asarray(members, dtype=object)[order]
-                self._canon = np.asarray(canon, dtype=object)[order]
+                self._members = pa.array(
+                    np.asarray(members, dtype=object)[order], type=pa.string()
+                )
+                self._canon = pa.array(
+                    np.asarray(canon, dtype=object)[order], type=pa.string()
+                )
         else:
             self._uids = None
 
@@ -121,7 +127,7 @@ class ClusterLabels:
     def as_dict(self) -> dict[str, str]:
         """Driver-side {member: cluster} (test/small-result surface only)."""
         if self.is_broadcast:
-            return dict(zip(self._members, self._canon))
+            return dict(zip(self._members.to_pylist(), self._canon.to_pylist()))
         if self._labels_ds is None:
             return {}
         pdf = self._labels_ds.to_pandas()
@@ -132,10 +138,8 @@ class ClusterLabels:
             return self._labels_ds
         if self._uids is None or len(self._uids) == 0:
             return None
-        return rd.from_pandas(
-            pd.DataFrame(
-                {"image_id": self._members, "cluster_id": self._canon}
-            )
+        return rd.from_arrow(
+            pa.table({"image_id": self._members, "cluster_id": self._canon})
         )
 
     def _broadcast_ref(self):
@@ -151,26 +155,32 @@ class ClusterLabels:
 
             ref = self._broadcast_ref()
 
-            def probe(batch: pd.DataFrame) -> pd.DataFrame:
+            def probe(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
                 uids, members, canon = ray.get(ref)
-                ids = batch["image_id"].to_numpy(dtype=object)
+                ids = batch.column("image_id")
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
                 if len(uids) == 0:
                     hit = np.zeros(len(ids), dtype=bool)
                     cl = ids
                 else:
-                    h = text_hash_u64(list(ids))
+                    h = text_hash_u64(ids)
                     pos = np.minimum(np.searchsorted(uids, h), len(uids) - 1)
                     # exact-match guard: uid hit AND the member string matches
                     # (hash collisions / drift must not mislabel a row)
-                    hit = (uids[pos] == h) & (members[pos] == ids)
-                    cl = np.where(hit, canon[pos], ids)
-                out = batch.copy()
-                out["cluster_id"] = cl
+                    pos_arr = pa.array(pos)
+                    hit = (uids[pos] == h) & pc.equal(
+                        members.take(pos_arr), ids
+                    ).to_numpy(zero_copy_only=False)
+                    cl = pc.if_else(pa.array(hit), canon.take(pos_arr), ids)
+                out = batch.append_column("cluster_id", cl)
                 if members_only:
-                    return out[hit]
+                    return out.filter(pa.array(hit))
                 return out
 
-            return ds.map_batches(probe, batch_format="pandas")
+            return ds.map_batches(probe, batch_format="pyarrow")
         labels = self._labels_ds
         n_parts = max(8, len(self) // 500_000) if labels is not None else 8
         if labels is None:
@@ -318,7 +328,7 @@ class DedupResult:
                 .to_pandas()["survivor_id"]
             )
             losers = np.array(
-                [m for m in self.labels._members if m not in survivors],
+                [m for m in self.labels._members.to_pylist() if m not in survivors],
                 dtype=object,
             )
             luids = np.sort(text_hash_u64(list(losers))) if len(losers) else None
@@ -669,13 +679,17 @@ def dedup_images(
         # two shuffles overlap (two independent streaming executors timeshare
         # the cluster; at high CPU counts this converts the shorter branch's
         # wall time into overlap instead of serial latency)
-        if cfg.substring_pass:
+        import os as _os
+
+        if cfg.substring_pass and not _os.environ.get("BIBEXPY_SEQ_BRANCHES"):
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=2) as pool:
                 f_lsh = pool.submit(run_lsh)
                 f_contained = pool.submit(run_containment)
                 pairs = f_lsh.result().union(f_contained.result())
+        elif cfg.substring_pass:
+            pairs = run_lsh().union(run_containment())
         else:
             pairs = run_lsh()
         _lap("s_cand_emit")
@@ -806,13 +820,16 @@ def dedup_images(
     _lap("s_verify_split")
 
     # ---- connected components ----------------------------------------------
-    # cap gate uses the (metadata-cheap) candidate count — auto edges are a
-    # subset of candidates, so candidates+exact <= cap proves the collect is
-    # bounded without an extra counting pass over the verified Dataset;
-    # auto/borderline metrics then derive from the ONE filter pass (every
-    # non-borderline stage carries confidence >= 0.9: 1-4 = 1.0/.99/.95/.90)
+    # cap gate counts the AUTO edge set — the thing actually collected. It is
+    # typically ~10x smaller than the candidate set (most candidates fail
+    # verification or land borderline), so gating on candidates would push
+    # mid-size corpora onto the distributed path an order of magnitude early.
+    # verified is materialized, so both counts are one cheap filter pass
+    # (every non-borderline stage carries confidence >= 0.9: 1-4 =
+    # 1.0/.99/.95/.90).
     n_verified = int(verified.count())
-    if metrics["candidate_edges"] + len(exact_pd) > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
+    n_auto_edges = int(auto_edges_ds.count())
+    if n_auto_edges + len(exact_pd) > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
         # distributed min-label propagation straight over the edge DATASET
         # (union with the exact pre-collapse edges); equivalence with the
         # driver union-find is proven in tests/test_unionfind.py
@@ -828,8 +845,8 @@ def dedup_images(
         metrics["clusters"] = int(
             labels_ds.groupby("cluster_id").count().count()
         )
-        metrics["verified_auto"] = int(auto_edges_ds.count())
-        metrics["borderline"] = n_verified - metrics["verified_auto"]
+        metrics["verified_auto"] = n_auto_edges
+        metrics["borderline"] = n_verified - n_auto_edges
     else:
         # ids-only collect (bounded by the dup rate, ~16 B + id chars per
         # edge), then vectorized driver connected components — the
