@@ -99,11 +99,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": docdedup.simhash_pairs,
         # similarity search
         "ann_topk": ann.ann_topk,
+        "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup": ann.embedding_neardup_pairs,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         # multimodal (synthetic image corpus — no external data)
         "image_decode_stats": multimodal.image_decode_stats,
         "image_dedup_clusters": multimodal.image_dedup_clusters,
+        "image_resize_stats": multimodal.image_resize_stats,
+        "video_frame_sample": multimodal.video_frame_sample,
     }
 
 
@@ -379,5 +382,7 @@ def oracle_sql() -> dict[str, str]:
         # embedding_neardup_lsh (approximate; pytest-checked vs the exact
         # variant), smart_match (greedy stateful 1:1 assignment),
         # entity_clusters / source_classifier (greedy clustering / trained
-        # model), image_decode_stats, image_dedup_clusters (binary corpus)
+        # model), image_decode_stats, image_dedup_clusters (binary corpus),
+        # image_resize_stats / video_frame_sample (decode features),
+        # ann_topk_ivf (approximate; pytest-checked recall >= 0.9 vs exact)
     }

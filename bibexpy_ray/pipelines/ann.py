@@ -117,6 +117,172 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _spherical_kmeans(
+    mat: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic spherical k-means over a normalized sample (driver-side:
+    the sample is a few thousand rows — the model-train-small pattern)."""
+    rng = np.random.default_rng(seed)
+    nm = _normalize(mat)
+    c = nm[rng.choice(len(nm), size=min(n_centroids, len(nm)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(nm @ c.T, axis=1)
+        for j in range(len(c)):
+            members = nm[assign == j]
+            if len(members):
+                c[j] = members.sum(axis=0)
+        c = _normalize(c)
+    return c
+
+
+IVF_SAMPLE_ROWS = 4096
+
+
+def ivf_build(
+    sf_dir: str, n_centroids: int = 32, seed: int = 42
+) -> tuple[str, np.ndarray]:
+    """Build an IVF index: train centroids on a sample, assign every vector,
+    write the corpus PARTITIONED BY LIST (hive layout, one directory per
+    centroid). Queries then read only their probed partitions — candidate
+    pruning happens at the read, which is the entire point of IVF at 100 TB
+    (the LSH variant prunes pairs; IVF prunes I/O). Cached per (sf, params);
+    rebuild is idempotent (same seed ⇒ same centroids ⇒ same layout)."""
+    import os
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/bibexpy_ivf/{sf}_c{n_centroids}_s{seed}"
+    cent_path = f"{root}/centroids.npy"
+    if os.path.exists(cent_path):
+        return root, np.load(cent_path)
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = ds.limit(IVF_SAMPLE_ROWS).to_pandas()
+    _, s_mat = _embedding_matrix(sample)
+    centroids = _spherical_kmeans(s_mat, n_centroids, seed=seed)
+    ref = ray.put(centroids)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        ids, mat = _embedding_matrix(batch)
+        lid = np.argmax(_normalize(mat) @ c.T, axis=1).astype(np.int64)
+        out = batch.copy()
+        # list_id rides twice: as the hive partition key (pruned at read) and
+        # as a plain column (partition cols are stripped from the files)
+        out["list_part"] = lid
+        out["list_id"] = lid
+        return out
+
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        root, partition_cols=["list_part"]
+    )
+    np.save(cent_path, centroids)
+    return root, centroids
+
+
+def ann_topk_ivf(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 20,
+) -> pd.DataFrame:
+    """IVF cosine top-k: probe only each query's ``nprobe`` nearest centroid
+    lists. Reads ONLY the probed partitions (union across queries) and masks
+    per query inside each batch. Approximate by design — recall vs the exact
+    ``ann_topk`` is pinned in tests (measured 0.75/0.8/0.9 at nprobe
+    12/16/20 on the synthetic table, whose vectors are ISOTROPIC — mean
+    pairwise cos 0.0 — so recall tracks the probed fraction with only a
+    modest lift; real embedding corpora cluster, making the probe far more
+    selective at the same nprobe). Same output schema as ``ann_topk`` so the
+    two are drop-in interchangeable."""
+    import os
+
+    root, centroids = ivf_build(sf_dir, n_centroids=n_centroids)
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    q_pd = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b.column("vec_id"), n_queries)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids, q_mat = _embedding_matrix(q_pd)
+    q_norm = _normalize(q_mat)
+    q_sims = q_norm @ centroids.T  # (nq, c)
+    nprobe = min(nprobe, centroids.shape[0])
+    probe_lists = np.argsort(-q_sims, axis=1)[:, :nprobe]  # (nq, nprobe)
+    union = sorted({int(l) for row in probe_lists for l in row})
+    # prune at the read: only probed partitions leave storage (explicit file
+    # list — read_parquet expands a single directory but not a list of them)
+    paths = [
+        os.path.join(d, f)
+        for d in (f"{root}/list_part={lid}" for lid in union)
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    probed = rd.read_parquet(paths, columns=["vec_id", "embedding", "list_id"])
+    probe_sets = [set(map(int, row)) for row in probe_lists]
+    ref = ray.put((q_ids, q_norm, probe_sets))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qi, qn, psets = ray.get(ref)
+        ids, mat = _embedding_matrix(batch)
+        lids = batch["list_id"].to_numpy(dtype=np.int64)
+        sims = _normalize(mat) @ qn.T
+        rows = []
+        for j, qid in enumerate(qi):
+            in_probe = np.isin(lids, list(psets[j])) & (ids != qid)
+            cand_ids, cand_s = ids[in_probe], sims[in_probe, j]
+            if cand_ids.size == 0:
+                continue
+            top = min(len(cand_ids), k)
+            order = np.lexsort((cand_ids, -cand_s))[:top]
+            rows.append(
+                pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": cand_ids[order],
+                     "sim": cand_s[order]}
+                )
+            )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "neighbor_id": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    partials = probed.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out_rows = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        out_rows.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(g), qid, dtype=np.int64),
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+                }
+            )
+        )
+    if not out_rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "neighbor_id": pd.Series([], dtype=np.int64),
+            }
+        )
+    return pd.concat(out_rows, ignore_index=True).sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
 def embedding_neardup_pairs(sf_dir: str, tau: float = 0.4) -> pd.DataFrame:
     """All vector pairs with cosine ≥ τ — exact (brute force vs broadcast
     normalized matrix). Output is id-only so it hash-matches the SQL oracle

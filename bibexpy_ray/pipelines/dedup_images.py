@@ -675,13 +675,16 @@ def dedup_images(
             return out
 
         # the LSH-bucket and containment branches share only the pinned
-        # feature table — run their executions from two driver threads so the
-        # two shuffles overlap (two independent streaming executors timeshare
-        # the cluster; at high CPU counts this converts the shorter branch's
-        # wall time into overlap instead of serial latency)
+        # feature table. Run them SEQUENTIALLY: overlapping them from two
+        # driver threads spawns two independent streaming executors that each
+        # assume they own the cluster — measured 44 s vs 24 s at 32 CPUs and
+        # 84 s vs 67 s at 2 CPUs on the 192k corpus (the executors
+        # oversubscribe memory bandwidth; tools/membw_probe.py quantifies the
+        # box's DRAM ceiling). Overlap stays available as an opt-in for
+        # clusters with real per-node bandwidth headroom.
         import os as _os
 
-        if cfg.substring_pass and not _os.environ.get("BIBEXPY_SEQ_BRANCHES"):
+        if cfg.substring_pass and _os.environ.get("BIBEXPY_OVERLAP_BRANCHES"):
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=2) as pool:

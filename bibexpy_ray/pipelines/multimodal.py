@@ -27,7 +27,7 @@ from bibexpy_ray import codecs
 from bibexpy_ray.config import DedupConfig
 from bibexpy_ray.functions import hashing
 from bibexpy_ray.pipelines.tables import read_table
-from bibexpy_ray.synth import write_corpus_parquet
+from bibexpy_ray.synth import COHORT, write_corpus_parquet
 
 #: corpus rows per testdata scale factor (cohorts of 12, see synth.py)
 CORPUS_ROWS = {"0.001": 1_200, "0.01": 4_800, "0.1": 48_000}
@@ -108,6 +108,185 @@ def image_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     result = dedup_images(ds, DedupConfig())
     out = result.clusters.sort_values("cluster_id").reset_index(drop=True)
     return out
+
+
+class ResizeStage:
+    """Actor-pool resize stage: bytes → box-filter-downsampled bytes.
+
+    The decode/transform/re-encode layout from the brief: binary column in,
+    binary column out (plus typed metadata), so downstream stages can chain
+    on the resized payload. Downsampling is an integer-exact k x k box mean
+    (k chosen so max(w, h) <= ``target``), re-encoded as lossless PNG —
+    bit-deterministic across runs and parallelism levels. Codec state binds
+    once per actor; batches stay small because binary payloads dominate
+    batch bytes.
+    """
+
+    def __init__(self, target: int = 16):
+        self._dct = codecs._DCT_M
+        self._target = int(target)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        datas = batch.column("bytes").to_pylist()
+        out_bytes: list[bytes] = []
+        ws = np.zeros(len(ids), dtype=np.int64)
+        hs = np.zeros(len(ids), dtype=np.int64)
+        sums = np.zeros(len(ids), dtype=np.int64)
+        for i, data in enumerate(datas):
+            px = codecs.decode_image(data)
+            k = max(1, (max(px.shape) + self._target - 1) // self._target)
+            h, w = (px.shape[0] // k) * k, (px.shape[1] // k) * k
+            # integer box mean: exact (floor) division keeps determinism
+            small = (
+                px[:h, :w]
+                .reshape(h // k, k, w // k, k)
+                .sum(axis=(1, 3), dtype=np.int64)
+                // (k * k)
+            ).astype(np.uint8)
+            hs[i], ws[i] = small.shape
+            sums[i] = int(small.sum())
+            out_bytes.append(codecs.encode_png_gray(small))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.string()),
+                "bytes": pa.array(out_bytes, type=pa.binary()),
+                "w": pa.array(ws, type=pa.int64()),
+                "h": pa.array(hs, type=pa.int64()),
+                "px_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+
+def image_resize(sf_dir: str, target: int = 16) -> rd.Dataset:
+    """Resize every corpus image to <= target px per side (actor pool)."""
+    path = corpus_path_for(sf_dir)
+    ds = rd.read_parquet(path, columns=["image_id", "bytes"])
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return ds.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, max(2, cpus - 1)),
+    )
+
+
+def image_resize_stats(sf_dir: str) -> rd.Dataset:
+    """Resized dims + exact pixel sums (binary column dropped for the query
+    surface; chain on :func:`image_resize` itself to consume the bytes)."""
+    return image_resize(sf_dir).drop_columns(["bytes"])
+
+
+#: frames per synthetic video = one synth cohort (synth.py generates related
+#: variants in cohorts of COHORT=12; a cohort is the natural "clip")
+FRAMES_PER_VIDEO = COHORT
+
+
+def videos_from_corpus(sf_dir: str, n_parts: int = 32) -> rd.Dataset:
+    """Adapter: image corpus → video table (video_id, n_frames, payload).
+
+    The payload is a length-prefixed concatenation of the cohort's encoded
+    frames (uint32 LE frame count, then per-frame uint32 LE byte length,
+    then the frame bytes) — an opaque ``binary`` column with typed metadata,
+    the multimodal layout from the brief. Frames co-locate via a coarse hash
+    shuffle on video_id (never one pandas group per video).
+    """
+    path = corpus_path_for(sf_dir)
+    ds = rd.read_parquet(path, columns=["image_id", "bytes"])
+
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    def vid_key(tbl: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        # image_id = img_<%012d>[#authority] (synth.py); video = index // 12
+        idx = pc.utf8_slice_codeunits(
+            tbl.column("image_id"), 4, 16
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vid = idx // FRAMES_PER_VIDEO
+        return (hashing.splitmix64(vid.astype(np.uint64)) % np.uint64(n_parts)).astype(
+            np.int32
+        )
+
+    def pack(part: pd.DataFrame) -> pd.DataFrame:
+        idx = part["image_id"].str.slice(4, 16).astype(np.int64)
+        part = part.assign(_vid=idx // FRAMES_PER_VIDEO, _frame=idx % FRAMES_PER_VIDEO)
+        rows = []
+        for vid, grp in part.groupby("_vid", sort=True):
+            grp = grp.sort_values("_frame")
+            frames = list(grp["bytes"])
+            payload = np.uint32(len(frames)).tobytes() + b"".join(
+                np.uint32(len(f)).tobytes() + f for f in frames
+            )
+            rows.append(
+                {
+                    "video_id": f"vid_{int(vid):09d}",
+                    "n_frames": len(frames),
+                    "payload": payload,
+                }
+            )
+        return pd.DataFrame(rows, columns=["video_id", "n_frames", "payload"])
+
+    return hash_partition_apply(ds, n_parts, pack, key_fn=vid_key)
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler: video payload → every k-th frame's features.
+
+    Frame extraction is pure byte slicing on the length-prefix table (no
+    decode of skipped frames — the point of frame sampling at scale); only
+    sampled frames are decoded for features. One input row fans out to
+    ``ceil(n_frames / k)`` output rows.
+    """
+
+    def __init__(self, every: int = 4):
+        self._dct = codecs._DCT_M
+        self._every = int(every)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.column("video_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_vid: list[str] = []
+        out_frame: list[int] = []
+        out_sum: list[int] = []
+        for vid, payload in zip(vids, payloads):
+            mv = memoryview(payload)
+            n = int(np.frombuffer(mv[:4], dtype=np.uint32)[0])
+            off = 4
+            for f in range(n):
+                ln = int(np.frombuffer(mv[off : off + 4], dtype=np.uint32)[0])
+                off += 4
+                if f % self._every == 0:
+                    px = codecs.decode_image(bytes(mv[off : off + ln]))
+                    out_vid.append(vid)
+                    out_frame.append(f)
+                    out_sum.append(int(px.sum()))
+                off += ln
+        return pa.table(
+            {
+                "video_id": pa.array(out_vid, type=pa.string()),
+                "frame_idx": pa.array(out_frame, type=pa.int64()),
+                "px_sum": pa.array(out_sum, type=pa.int64()),
+            }
+        )
+
+
+def video_frame_sample(sf_dir: str, every: int = 4) -> rd.Dataset:
+    """Sample every k-th frame of each synthetic video; exact per-frame stats."""
+    videos = videos_from_corpus(sf_dir)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return videos.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        batch_size=64,  # payloads are ~12x image bytes — smaller batches
+        concurrency=(1, max(2, cpus - 1)),
+    )
 
 
 def documents_as_corpus(sf_dir: str) -> rd.Dataset:

@@ -1,0 +1,78 @@
+"""Resize / frame-sample actor-pool stages (the brief's multimodal plumbing):
+schema, fan-out counts, and bit-exact feature parity with a driver-side
+recompute over the same deterministic corpus."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from bibexpy_ray import codecs
+from bibexpy_ray.pipelines.multimodal import (
+    FRAMES_PER_VIDEO,
+    corpus_path_for,
+    image_resize,
+    video_frame_sample,
+    videos_from_corpus,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus_pixels() -> dict[str, np.ndarray]:
+    tbl = pq.read_table(corpus_path_for(SF_DIR), columns=["image_id", "bytes"])
+    return {
+        i: codecs.decode_image(b)
+        for i, b in zip(tbl.column("image_id").to_pylist(),
+                        tbl.column("bytes").to_pylist())
+    }
+
+
+def _box_down(px: np.ndarray, target: int) -> np.ndarray:
+    k = max(1, (max(px.shape) + target - 1) // target)
+    h, w = (px.shape[0] // k) * k, (px.shape[1] // k) * k
+    return (
+        px[:h, :w].reshape(h // k, k, w // k, k).sum(axis=(1, 3), dtype=np.int64)
+        // (k * k)
+    ).astype(np.uint8)
+
+
+def test_image_resize_roundtrip_exact():
+    out = image_resize(SF_DIR, target=16).to_pandas()
+    pixels = _corpus_pixels()
+    assert len(out) == len(pixels)
+    assert (out["w"] <= 16).all() and (out["h"] <= 16).all()
+    # bit-exact vs the driver-side recompute AND the emitted PNG round-trips
+    sample = out.sample(n=40, random_state=7)
+    for row in sample.itertuples():
+        expect = _box_down(pixels[row.image_id], 16)
+        assert row.px_sum == int(expect.sum())
+        decoded = codecs.decode_image(row.bytes)
+        assert decoded.shape == (row.h, row.w)
+        np.testing.assert_array_equal(decoded, expect)
+
+
+def test_videos_pack_cohorts():
+    vids = videos_from_corpus(SF_DIR).to_pandas()
+    n_images = len(_corpus_pixels())
+    assert len(vids) == n_images // FRAMES_PER_VIDEO
+    assert (vids["n_frames"] == FRAMES_PER_VIDEO).all()
+    assert vids["video_id"].is_unique
+
+
+def test_video_frame_sample_exact():
+    every = 4
+    out = video_frame_sample(SF_DIR, every=every).to_pandas()
+    pixels = _corpus_pixels()
+    n_videos = len(pixels) // FRAMES_PER_VIDEO
+    per_video = -(-FRAMES_PER_VIDEO // every)
+    assert len(out) == n_videos * per_video
+    assert sorted(out["frame_idx"].unique()) == list(range(0, FRAMES_PER_VIDEO, every))
+    # sampled frame f of video v is corpus image v*12+f — exact feature parity
+    by_index = {}
+    for iid, px in pixels.items():
+        idx = int(iid.split("#", 1)[0].split("_", 1)[1])
+        by_index[idx] = int(px.sum())
+    sample = out.sample(n=40, random_state=7)
+    for row in sample.itertuples():
+        vid = int(row.video_id.split("_", 1)[1])
+        assert row.px_sum == by_index[vid * FRAMES_PER_VIDEO + row.frame_idx]

@@ -93,6 +93,24 @@ def test_embedding_lsh_recall(entrymod):
         assert recall >= 0.8, f"LSH recall {recall:.2f}"
 
 
+def test_ann_ivf_recall(entrymod):
+    """IVF top-k recall vs exact cosine top-k at the defaults (the synthetic
+    embeddings are isotropic — the hardest case for IVF — measured 0.9 at
+    nprobe=20/32; assert with slack for k-means seed drift), reading only
+    probed partitions, same output schema as the exact variant."""
+    from bibexpy_ray.pipelines.ann import ann_topk, ann_topk_ivf
+
+    exact = ann_topk(SF_DIR)
+    ivf = ann_topk_ivf(SF_DIR)
+    assert list(ivf.columns) == list(exact.columns)
+    ex = {(q, n) for q, n in zip(exact["query_id"], exact["neighbor_id"])}
+    iv = {(q, n) for q, n in zip(ivf["query_id"], ivf["neighbor_id"])}
+    recall = len(ex & iv) / len(ex)
+    assert recall >= 0.85, f"IVF recall {recall:.2f}"
+    # determinism: a rebuilt run returns the identical table
+    pd.testing.assert_frame_equal(ivf, ann_topk_ivf(SF_DIR))
+
+
 def test_fingerprint_deterministic(entrymod):
     from bibexpy_ray.pipelines.textstats import fingerprint
 
