@@ -1,0 +1,138 @@
+"""Property-based kernel tests (hypothesis): the vectorized/bit-parallel
+kernels must agree with direct per-element reference formulations on
+arbitrary inputs, not just the fixture corpus. Pure-Python — no Ray."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bibexpy_ray.functions import hashing
+from bibexpy_ray.functions.normalize import normalize_doi, normalize_title
+from bibexpy_ray.functions.similarity import (
+    jaccard_sets,
+    jaccard_sorted_arrays,
+    jaro,
+    jaro_winkler,
+    jaro_winkler_batch,
+)
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+)
+ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+def _jaro_reference(s1: str, s2: str) -> float:
+    """Textbook double-loop Jaro — the direct formulation the bit-parallel
+    kernel must reproduce bit-exactly."""
+    if s1 == s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    len1, len2 = len(s1), len(s2)
+    match_dist = max(max(len1, len2) // 2 - 1, 0)
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - match_dist), min(len2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / len1 + matches / len2 + (matches - t) / matches) / 3
+
+
+@given(TEXT, TEXT)
+@settings(max_examples=300, deadline=None)
+def test_jaro_bitparallel_equals_reference(a, b):
+    assert jaro(a, b) == _jaro_reference(a, b)
+
+
+@given(st.lists(st.tuples(ASCII, ASCII), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_jaro_winkler_batch_equals_scalar(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    batch = jaro_winkler_batch(a, b)
+    for i in range(len(pairs)):
+        assert batch[i] == jaro_winkler(a[i], b[i])
+
+
+@given(st.sets(st.integers(0, 10**9)), st.sets(st.integers(0, 10**9)))
+@settings(max_examples=200, deadline=None)
+def test_jaccard_sorted_equals_set(sa, sb):
+    a = np.array(sorted(sa), dtype=np.uint64)
+    b = np.array(sorted(sb), dtype=np.uint64)
+    assert jaccard_sorted_arrays(a, b) == jaccard_sets(sa, sb)
+
+
+@given(st.lists(TEXT, min_size=1, max_size=16))
+@settings(max_examples=100, deadline=None)
+def test_text_hash_arrow_equals_list_path(texts):
+    via_list = hashing.text_hash_u64(texts)
+    via_arrow = hashing.text_hash_u64(pa.array(texts, type=pa.string()))
+    np.testing.assert_array_equal(via_list, via_arrow)
+
+
+@given(st.lists(TEXT, min_size=1, max_size=12), st.integers(2, 7))
+@settings(max_examples=100, deadline=None)
+def test_shingles_match_per_row_recompute(texts, k):
+    """Vectorized batch shingling == shingling each row alone (flat-buffer
+    offsets carry no cross-row contamination)."""
+    flat, offs = hashing.shingle_hashes(texts, k)
+    for i, t in enumerate(texts):
+        row = flat[offs[i] : offs[i + 1]]
+        alone, ao = hashing.shingle_hashes([t], k)
+        np.testing.assert_array_equal(row, alone)
+        n_bytes = len(t.encode("utf-8"))
+        assert len(row) == max(0, n_bytes - k + 1)
+
+
+@given(st.lists(st.lists(st.integers(0, 2**63), min_size=0, max_size=30),
+                min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_minhash_permutation_invariance(rows):
+    """MinHash of a row depends only on its shingle SET (order/dup free)."""
+    flat = np.array([v for r in rows for v in r], dtype=np.uint64)
+    offs = np.cumsum([0] + [len(r) for r in rows])
+    flat_u, offs_u = hashing.unique_per_row(flat, offs)
+    sig = hashing.minhash_signatures(flat_u, offs_u, num_perms=16)
+    # shuffled + duplicated input rows give the identical signature
+    rng = np.random.default_rng(0)
+    rows2 = [list(rng.permutation(np.array(r + r, dtype=np.uint64))) for r in rows]
+    flat2 = np.array([v for r in rows2 for v in r], dtype=np.uint64)
+    offs2 = np.cumsum([0] + [len(r) for r in rows2])
+    f2u, o2u = hashing.unique_per_row(flat2, offs2)
+    sig2 = hashing.minhash_signatures(f2u, o2u, num_perms=16)
+    np.testing.assert_array_equal(sig, sig2)
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_normalize_title_idempotent(t):
+    once = normalize_title(t)
+    assert normalize_title(once) == once
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_normalize_doi_idempotent(t):
+    once = normalize_doi(t)
+    assert normalize_doi(once) == once
