@@ -183,6 +183,27 @@ def write_ris(ds: rd.Dataset, out_dir: str) -> str:
     return _write_sharded(ds, out_dir, format_ris, ".ris")
 
 
+#: export format name → sink (the reference's export endpoint format switch)
+EXPORT_SINKS = {"bibtex": write_bibtex, "ris": write_ris}
+
+
+def export_filtered(
+    ds: rd.Dataset, spec: dict | None, out_dir: str, fmt: str = "bibtex"
+) -> str:
+    """Export-with-filter: apply a filter spec, then stream to a format sink
+    (the reference's filtered-export flow, routers/export.py — filter specs
+    and writers composed in ONE streaming pass; semantics reimplemented, NOT
+    copied). ``spec`` uses :func:`relational.apply_filter_spec`'s clause
+    grammar; ``None`` exports everything."""
+    if fmt not in EXPORT_SINKS:
+        raise ValueError(f"unknown export format {fmt!r} (have {sorted(EXPORT_SINKS)})")
+    if spec:
+        from bibexpy_ray.pipelines.relational import apply_filter_spec
+
+        ds = apply_filter_spec(ds, spec)
+    return EXPORT_SINKS[fmt](ds, out_dir)
+
+
 # ---------------------------------------------------------------------------
 # Scopus-style CSV reader
 # ---------------------------------------------------------------------------

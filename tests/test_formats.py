@@ -79,6 +79,23 @@ def test_sharded_sinks_write_files(tmp_path):
     assert "@article{" in content
 
 
+def test_export_filtered_composes_spec_and_sink(tmp_path):
+    from bibexpy_ray.sources.formats import export_filtered
+
+    ds = rd.from_pandas(RECORDS)
+    out = export_filtered(
+        ds, {"contains_any": [{"col": "DT", "terms": ["Article"]}]},
+        str(tmp_path / "filt"), fmt="ris",
+    )
+    text = "".join(
+        open(os.path.join(out, f)).read()
+        for f in os.listdir(out) if f.endswith(".ris")
+    )
+    assert "Smith, J" in text and "Roe, B" not in text
+    with pytest.raises(ValueError):
+        export_filtered(ds, None, str(tmp_path / "bad"), fmt="xlsx")
+
+
 def test_scopus_csv_reader(tmp_path):
     csv = tmp_path / "scopus.csv"
     pd.DataFrame(
@@ -98,7 +115,13 @@ def test_scopus_csv_reader(tmp_path):
             },
         ]
     ).to_csv(csv, index=False)
-    out = read_scopus_csv(str(csv)).to_pandas()
+    # block order from a parallel read is not guaranteed — sort by year
+    out = (
+        read_scopus_csv(str(csv))
+        .to_pandas()
+        .sort_values("PY")
+        .reset_index(drop=True)
+    )
     # header map applied
     for tag in ("AU", "TI", "SO", "PY", "DI", "UT", "TC", "JI", "DT", "URL"):
         assert tag in out.columns, tag
