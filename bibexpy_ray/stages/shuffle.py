@@ -58,11 +58,23 @@ def hash_partition_apply(
     P = int(num_partitions)
 
     @ray.remote
-    def _split(tbl: pa.Table):
-        if isinstance(tbl, pd.DataFrame):
+    def _split(*tbls):
+        tbls = [
+            pa.Table.from_pandas(t, preserve_index=False)
             # to_arrow_refs hands back raw pandas blocks from pandas-format
             # upstream stages (including zero-row UDF passthroughs)
-            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+            if isinstance(t, pd.DataFrame)
+            else t
+            for t in tbls
+        ]
+        widest = max(tbls, key=lambda t: t.num_columns)
+        tbl = (
+            pa.concat_tables(
+                [t for t in tbls if t.num_rows], promote_options="default"
+            )
+            if any(t.num_rows for t in tbls)
+            else widest
+        )
         has_col = part_col in tbl.schema.names
         if tbl.num_rows == 0 or (key_fn is None and not has_col):
             # zero-row blocks pass through upstream map_batches without the
@@ -118,7 +130,19 @@ def hash_partition_apply(
     blocks = ds.to_arrow_refs()
     if not blocks:
         return ds
-    splits = [_split.options(num_returns=P).remote(b) for b in blocks]
+    # coalesce fragmented upstream blocks into a bounded number of split
+    # tasks: the shuffle creates (#splits x P) objects, and B tracks upstream
+    # read/map parallelism — at high CPU counts thousands of tiny map-side
+    # slices cost more in scheduling + concat than the split work itself.
+    # ~2 split waves per CPU keeps every core busy while bounding B.
+    cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
+    max_splits = max(16, 2 * cpus)
+    if len(blocks) > max_splits:
+        per = -(-len(blocks) // max_splits)
+        groups = [blocks[i : i + per] for i in range(0, len(blocks), per)]
+    else:
+        groups = [[b] for b in blocks]
+    splits = [_split.options(num_returns=P).remote(*g) for g in groups]
     if rows_per_block is None:
         reduced = [_reduce.remote(*[s[i] for s in splits]) for i in range(P)]
         return rd.from_arrow_refs(reduced)
