@@ -166,7 +166,7 @@ def run_scaling() -> dict:
     # best-of-N per level: the sandbox's noise floor exceeds the measurement
     # delta, and the fastest trial is the closest estimate of the code's true
     # cost at that parallelism (all trials use the same warmed input)
-    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
     levels = [int(x) for x in
               os.environ.get("GRAFT_SCALING_LEVELS", "2,8,32").split(",")]
     results, all_trials = [], []

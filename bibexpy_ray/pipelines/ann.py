@@ -439,12 +439,15 @@ def embedding_neardup_lsh(
         part = (hashing.splitmix64(k) % np.uint64(n_parts)).astype(np.int32)
         return batch.append_column("_part", pa.array(part, type=pa.int32()))
 
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
     emitter = IntBucketPairEmitter()
-    raw_pairs = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(lambda df: emitter(df), batch_format="pandas")
+    raw_pairs = hash_partition_apply(
+        ds.map_batches(bucket, batch_format="pandas").map_batches(
+            add_part, batch_format="pyarrow"
+        ),
+        n_parts,
+        lambda df: emitter(df),
     )
     pairs = _dedupe_int_pairs(raw_pairs, n_parts, agg={"dropped": "max"})
     out = _cosine_verify_ds(pairs, ds, tau, n).to_pandas()

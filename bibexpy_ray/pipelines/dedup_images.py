@@ -34,7 +34,6 @@ from bibexpy_ray.config import DedupConfig
 from bibexpy_ray.stages.lsh import (
     BucketPairEmitter,
     add_coarse_partition,
-    dedupe_pairs,
     dedupe_pairs_manual,
     emit_authority_rows,
     emit_caption_band_rows,

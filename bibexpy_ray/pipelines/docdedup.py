@@ -107,10 +107,12 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return (
-        ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(reduce_part, batch_format="pandas")
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    # manual hash shuffle (split/reduce) — the sort-based groupby's sampling
+    # and range coordination dominates a pure vectorized per-partition reduce
+    return hash_partition_apply(
+        ds.map_batches(add_key, batch_format="pyarrow"), n_parts, reduce_part
     )
 
 
@@ -237,10 +239,10 @@ def _dedupe_int_pairs(
             out[c] = g[c].astype(np.int64)
         return pd.DataFrame(out)
 
-    return (
-        pairs.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(dedupe, batch_format="pandas")
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    return hash_partition_apply(
+        pairs.map_batches(add_part, batch_format="pyarrow"), n_parts, dedupe
     )
 
 
@@ -292,11 +294,13 @@ def lsh_candidate_pairs(
         part = (hashing.splitmix64(k) % _U64(n_parts)).astype(np.int32)
         return batch.append_column("_part", pa.array(part, type=pa.int32()))
 
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
     emitter = IntBucketPairEmitter()
-    pairs = (
-        bucket_rows.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(lambda df: emitter(df), batch_format="pandas")
+    pairs = hash_partition_apply(
+        bucket_rows.map_batches(add_part, batch_format="pyarrow"),
+        n_parts,
+        lambda df: emitter(df),
     )
     return _dedupe_int_pairs(pairs, n_parts, agg={"dropped": "max"})
 
@@ -574,10 +578,12 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
             }
         )
 
-    pairs = (
-        bucket_rows.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(emit_pairs, batch_format="pandas")
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    pairs = hash_partition_apply(
+        bucket_rows.map_batches(add_part, batch_format="pyarrow"),
+        n_parts,
+        emit_pairs,
     )
     # distributed dedupe (a pair surfaces in up to 8 bands; hamming identical
     # across copies, so min == the value) — only the final result collects

@@ -161,10 +161,10 @@ def cluster_mentions(ds: rd.Dataset, mention_col: str, n_parts: int = 32) -> rd.
             return cluster_block(df.iloc[:0])
         return pd.concat(outs, ignore_index=True)
 
-    return (
-        ds.map_batches(explode, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(per_part, batch_format="pandas")
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    return hash_partition_apply(
+        ds.map_batches(explode, batch_format="pandas"), n_parts, per_part
     )
 
 

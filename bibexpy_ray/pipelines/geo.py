@@ -386,13 +386,13 @@ def org_rollup_blocks(
         cols = ["cluster_id", "tier", "canonical_name", "variants", "n_records"]
         return pd.DataFrame(rows, columns=cols)
 
-    out = (
-        ds.map_batches(extract, batch_format="pandas")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(
-            lambda df: per_part(df.drop(columns=["_part"])), batch_format="pandas"
-        )
-        .to_pandas()
-    )
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    out = hash_partition_apply(
+        ds.map_batches(extract, batch_format="pandas").map_batches(
+            add_part, batch_format="pyarrow"
+        ),
+        n_parts,
+        per_part,
+    ).to_pandas()
     return out.sort_values("cluster_id").reset_index(drop=True)

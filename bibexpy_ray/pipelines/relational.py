@@ -564,12 +564,10 @@ def sessionize(sf_dir: str, n_parts: int = 64) -> rd.Dataset:
             }
         )
 
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(
-            lambda df: per_part(df.drop(columns=["_part"])), batch_format="pandas"
-        )
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    return hash_partition_apply(
+        ds.map_batches(add_part, batch_format="pyarrow"), n_parts, per_part
     )
 
 

@@ -177,13 +177,9 @@ def asof_join_cogroup(sf_dir: str, n_parts: int = 64) -> pd.DataFrame:
         )
         return out if len(out) else empty
 
-    joined = (
-        tagged.groupby("_part")
-        .map_groups(
-            lambda df: per_part(df.drop(columns=["_part"])), batch_format="pandas"
-        )
-        .to_pandas()
-    )
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    joined = hash_partition_apply(tagged, n_parts, per_part).to_pandas()
     return joined.sort_values("event_id").reset_index(drop=True)
 
 
