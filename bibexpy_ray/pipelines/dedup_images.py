@@ -822,16 +822,15 @@ def dedup_images(
     _lap("s_verify_split")
 
     # ---- connected components ----------------------------------------------
-    # cap gate counts the AUTO edge set — the thing actually collected. It is
-    # typically ~10x smaller than the candidate set (most candidates fail
-    # verification or land borderline), so gating on candidates would push
-    # mid-size corpora onto the distributed path an order of magnitude early.
-    # verified is materialized, so both counts are one cheap filter pass
-    # (every non-borderline stage carries confidence >= 0.9: 1-4 =
-    # 1.0/.99/.95/.90).
+    # cap gate bounds the AUTO edge set by n_verified (auto ⊆ verified, and
+    # verified is materialized so the count is metadata-free). Gating on the
+    # exact auto count would need one more executor pass over the filter —
+    # a fixed per-job cost at every scale — to at best defer the distributed
+    # path by the borderline fraction (~2x), vs the ~10x the old
+    # candidate-count gate wasted. (Every non-borderline stage carries
+    # confidence >= 0.9: 1-4 = 1.0/.99/.95/.90.)
     n_verified = int(verified.count())
-    n_auto_edges = int(auto_edges_ds.count())
-    if n_auto_edges + len(exact_pd) > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
+    if n_verified + len(exact_pd) > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
         # distributed min-label propagation straight over the edge DATASET
         # (union with the exact pre-collapse edges); equivalence with the
         # driver union-find is proven in tests/test_unionfind.py
@@ -847,6 +846,7 @@ def dedup_images(
         metrics["clusters"] = int(
             labels_ds.groupby("cluster_id").count().count()
         )
+        n_auto_edges = int(auto_edges_ds.count())
         metrics["verified_auto"] = n_auto_edges
         metrics["borderline"] = n_verified - n_auto_edges
     else:
