@@ -255,31 +255,46 @@ class DedupResult:
         """Append cluster_id to a dataset of IMAGE_SCHEMA rows."""
         return self.labels.attach(ds)
 
-    def merged_records(
+    def merged_records_ds(
         self,
         ds: rd.Dataset,
         policies: dict[str, str] | None = None,
-    ) -> tuple[pd.DataFrame, pd.DataFrame]:
-        """Phase-4 field merge: fold each duplicate cluster's metadata rows into
-        one merged record using per-field policies (functions/fieldmerge.py —
-        the reference's merge_pair_with_preferences scaled to n-ary clusters,
-        smart_merger.py:388-458). Returns (merged_records, conflict_log).
+    ) -> tuple[rd.Dataset, rd.Dataset]:
+        """Distributed phase-4 field merge: fold each duplicate cluster's
+        metadata rows into one merged record using per-field policies
+        (functions/fieldmerge.py — the reference's merge_pair_with_preferences
+        scaled to n-ary clusters, smart_merger.py:388-458). Returns lazy
+        ``(merged_records, conflict_log)`` Datasets — nothing of unbounded
+        size lands on the driver.
 
-        Metadata only — the ``bytes`` column never enters this reduce; callers
-        re-attach payloads by survivor id from the canonical dataset. Each
-        merged row carries ITS OWN cluster's conflict log as a JSON column
-        (schema-stable per row; no cross-row smuggling), exploded driver-side.
+        One reduce task per hash partition of ``cluster_id`` (manual hash
+        shuffle, stages/shuffle.py), not per-cluster ``map_groups`` — at
+        millions of clusters the sort-groupby's per-group overhead would
+        dominate. Metadata only — the ``bytes`` column never enters this
+        reduce; callers re-attach payloads by survivor id from the canonical
+        dataset. Each merged row carries ITS OWN cluster's conflict log as a
+        JSON column (schema-stable per row; no cross-row smuggling), exploded
+        into the conflict Dataset by a second streaming pass.
         """
         import json as _json
 
         from bibexpy_ray.functions.fieldmerge import merge_record
+        from bibexpy_ray.functions.hashing import text_hash_u64
+        from bibexpy_ray.stages.shuffle import hash_partition_apply
 
-        if len(self.labels) == 0:
-            return pd.DataFrame(), pd.DataFrame()
         meta_cols = [c for c in ds.schema().names if c != "bytes"]
+        out_cols = meta_cols + ["cluster_id", "_conflicts"]
+        conflict_cols = ["field", "chosen", "values", "cluster_id"]
         members = self.labels.attach(
             ds.select_columns(meta_cols), members_only=True
         )
+        n_parts = max(8, len(self.labels) // 50_000)
+
+        def cluster_key(tbl: pa.Table) -> np.ndarray:
+            ids = tbl.column("cluster_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return (text_hash_u64(ids) % n_parts).astype(np.int64)
 
         def merge_part(part: pd.DataFrame) -> pd.DataFrame:
             out_rows = []
@@ -291,23 +306,41 @@ class DedupResult:
                     [{**c, "cluster_id": cid} for c in conflicts]
                 )
                 out_rows.append(merged)
-            return pd.DataFrame(out_rows)
+            return pd.DataFrame(out_rows, columns=out_cols)
 
-        merged_pd = (
-            members.groupby("cluster_id")
-            .map_groups(merge_part, batch_format="pandas")
-            .to_pandas()
+        merged_ds = hash_partition_apply(
+            members, n_parts, merge_part, key_fn=cluster_key
         )
-        conflicts = [
-            row
-            for blob in merged_pd["_conflicts"]
-            if blob
-            for row in _json.loads(blob)
-        ]
-        merged_pd = merged_pd.drop(columns=["_conflicts"])
+
+        def explode_conflicts(part: pd.DataFrame) -> pd.DataFrame:
+            rows = [
+                row
+                for blob in part["_conflicts"]
+                if blob
+                for row in _json.loads(blob)
+            ]
+            return pd.DataFrame(rows, columns=conflict_cols)
+
         return (
-            merged_pd.sort_values("cluster_id").reset_index(drop=True),
-            pd.DataFrame(conflicts),
+            merged_ds.drop_columns(["_conflicts"]),
+            merged_ds.map_batches(explode_conflicts, batch_format="pandas"),
+        )
+
+    def merged_records(
+        self,
+        ds: rd.Dataset,
+        policies: dict[str, str] | None = None,
+    ) -> tuple[pd.DataFrame, pd.DataFrame]:
+        """Collected convenience over :meth:`merged_records_ds` (tests / small
+        results); at scale consume the Dataset variant directly."""
+        if len(self.labels) == 0:
+            return pd.DataFrame(), pd.DataFrame()
+        merged_ds, conflicts_ds = self.merged_records_ds(ds, policies)
+        return (
+            merged_ds.to_pandas()
+            .sort_values("cluster_id")
+            .reset_index(drop=True),
+            conflicts_ds.to_pandas(),
         )
 
     def canonical(self, ds: rd.Dataset) -> rd.Dataset:

@@ -66,6 +66,16 @@ def save_run(result: DedupResult, ds: rd.Dataset, out_dir: str) -> dict:
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    from bibexpy_ray.state import audit
+
+    audit.write(
+        out_dir, "dedup", "Dedup run saved",
+        details={
+            **result.metrics,
+            "rows_in": int(ds.count()),  # parquet metadata count, no scan
+            "rows_canonical": n_canonical,
+        },
+    )
     return manifest
 
 
