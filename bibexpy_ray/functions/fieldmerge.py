@@ -295,6 +295,29 @@ _TWO_SOURCE_FNS: dict[str, Callable[[Any, Any], str]] = {
 }
 
 
+def register_policy(name: str, fn, two_source: bool = False) -> None:
+    """Extension surface: register a custom merge policy under ``name``.
+
+    ``fn`` takes ``list[values] -> str`` (or ``(a, b) -> str`` with
+    ``two_source=True``, where a/b are the first/second source_order values).
+    Registries are per-process — Ray workers resolve policy NAMES in their own
+    interpreter, so call this at import time in a module the workers also
+    import. To skip the registry entirely, pass the callable itself as the
+    policy value in ``policies`` (it ships inside the task closure).
+    """
+    if not callable(fn):
+        raise TypeError("policy fn must be callable")
+    (_TWO_SOURCE_FNS if two_source else _POLICY_FNS)[name] = fn
+
+
+def available_policies() -> dict[str, list[str]]:
+    return {
+        "value": sorted(_POLICY_FNS),
+        "two_source": sorted(_TWO_SOURCE_FNS),
+        "other": ["priority_source"],
+    }
+
+
 def merge_record(
     rows: list[dict[str, Any]],
     policies: dict[str, str] | None = None,
@@ -317,6 +340,11 @@ def merge_record(
     for f in fields:
         values = [r.get(f) for r in rows]
         policy = policies.get(f, "first_non_blank")
+        if callable(policy):
+            # extension surface: a policy callable ships in the task closure
+            # (no registry round-trip); conflicts are the callable's concern
+            merged[f] = policy(values)
+            continue
         if policy in _TWO_SOURCE_FNS and source_field:
             order = source_order or []
             a = first_non_blank(

@@ -484,9 +484,16 @@ def dedup_images(
     ds: rd.Dataset,
     cfg: DedupConfig | None = None,
     run_dir: Optional[str] = None,
+    survivor_rank_fn=None,
 ) -> DedupResult:
     """Run the full near-duplicate pipeline. ``ds`` must have IMAGE_SCHEMA columns
     (bytes optional — never read here). Returns cluster assignments + side outputs.
+
+    ``survivor_rank_fn`` is the survivor-policy extension point (SURVEY
+    §2.14): ``part -> pd.DataFrame`` of rank columns, lower-first, as in
+    stages/survivor.survivors_partition. The callable is NOT part of the
+    checkpoint config — resuming a run_dir with a different rank_fn is the
+    caller's responsibility.
     """
     import time as _time
 
@@ -954,7 +961,9 @@ def dedup_images(
     clusters_ds = hash_partition_apply(
         members_ds,
         n_coarse,
-        lambda df: survivors_partition(df[["cluster_id", "image_id", "fmt", "caption"]]),
+        lambda df: survivors_partition(
+            df[["cluster_id", "image_id", "fmt", "caption"]], rank_fn=survivor_rank_fn
+        ),
         key_fn=cluster_key,
     ).materialize()
 

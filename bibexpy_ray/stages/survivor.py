@@ -54,13 +54,19 @@ def select_survivors(members: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def survivors_partition(part: pd.DataFrame) -> pd.DataFrame:
+def survivors_partition(part: pd.DataFrame, rank_fn=None) -> pd.DataFrame:
     """Vectorized survivor selection over a whole hash partition of cluster
     members (many clusters per call — avoids Ray's and pandas' per-group
     overhead when clusters number in the millions).
 
     Equivalent to ``select_survivors`` per cluster: sort members by the
     survivor rank within cluster, take the first per cluster.
+
+    ``rank_fn`` is the extension surface (SURVEY §2.14): a callable
+    ``part -> pd.DataFrame`` of rank columns aligned with ``part`` — lower
+    sorts first, column order is significance order. ``image_id`` is always
+    appended as the order-free tiebreak. The callable ships in the task
+    closure, so no registry is needed on the workers.
     """
     if len(part) == 0:
         return pd.DataFrame(
@@ -71,14 +77,24 @@ def survivors_partition(part: pd.DataFrame) -> pd.DataFrame:
                 "members": pd.Series([], dtype=object),
             }
         )
-    non_empty = (
-        part["caption"].fillna("").astype(str).str.len().gt(0).astype(int)
-        + part["image_id"].astype(str).str.len().gt(0).astype(int)
-    )
-    fmt_rank = part["fmt"].map(_FMT_PRIORITY).fillna(2).astype(int)
-    ranked = part.assign(_ne=-non_empty, _fr=fmt_rank).sort_values(
-        ["cluster_id", "_ne", "_fr", "image_id"], kind="mergesort"
-    )
+    if rank_fn is not None:
+        ranks = rank_fn(part)
+    else:
+        non_empty = (
+            part["caption"].fillna("").astype(str).str.len().gt(0).astype(int)
+            + part["image_id"].astype(str).str.len().gt(0).astype(int)
+        )
+        ranks = pd.DataFrame(
+            {
+                "_ne": -non_empty,
+                "_fr": part["fmt"].map(_FMT_PRIORITY).fillna(2).astype(int),
+            },
+            index=part.index,
+        )
+    rank_cols = [f"_rk{i}" for i in range(ranks.shape[1])]
+    ranked = part.assign(
+        **{c: ranks.iloc[:, i] for i, c in enumerate(rank_cols)}
+    ).sort_values(["cluster_id", *rank_cols, "image_id"], kind="mergesort")
     winners = ranked.drop_duplicates(subset=["cluster_id"], keep="first")
     by_id = part.sort_values(["cluster_id", "image_id"], kind="mergesort")
     agg = by_id.groupby("cluster_id", sort=True)["image_id"].agg(
