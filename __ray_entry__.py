@@ -119,6 +119,32 @@ def _stopword_sql_list() -> str:
     return ", ".join(f"'{w}'" for w in STOPWORD_LIST)
 
 
+def _lang_id_sql() -> str:
+    """Oracle for the function-word language-ID heuristic: per-language match
+    counts via list_filter, argmax with the engine's deterministic tie-break
+    (sorted language code order, 'und' when nothing matches). Word lists are
+    taken from the SAME profile table the engine uses."""
+    from bibexpy_ray.pipelines.textstats import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)  # matches LangIdStage's iteration order
+    counts = ", ".join(
+        "CAST(len(list_filter(toks, t -> t IN ({}))) AS BIGINT) AS c_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang])), lang
+        )
+        for lang in langs
+    )
+    mx = "greatest({})".format(", ".join(f"c_{lang}" for lang in langs))
+    case = " ".join(f"WHEN c_{lang} = m THEN '{lang}'" for lang in langs)
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS toks "
+        "FROM documents), "
+        f"cnt AS (SELECT doc_id, {counts} FROM toks), "
+        f"mx AS (SELECT *, {mx} AS m FROM cnt) "
+        f"SELECT doc_id, CASE WHEN m = 0 THEN 'und' {case} END AS pred_lang, "
+        "m AS match_cnt FROM mx"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from bibexpy_ray.pipelines import geo
 
@@ -376,8 +402,9 @@ def oracle_sql() -> dict[str, str]:
             "FOR i IN range(1, CAST(len(text) AS BIGINT) - 6)])) AS BIGINT) AS n_kgrams "
             "FROM documents"
         ),
+        "lang_id": _lang_id_sql(),
         # no oracle (non-SQL-expressible → driver rows-only check):
-        # simhash_pairs (custom 64-bit hash), lang_id (n-gram profile model),
+        # simhash_pairs (custom 64-bit hash),
         # fingerprint (winnowing over the engine's rolling hash),
         # embedding_neardup_lsh (approximate; pytest-checked vs the exact
         # variant), smart_match (greedy stateful 1:1 assignment),

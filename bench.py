@@ -169,11 +169,20 @@ def run_scaling() -> dict:
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
     levels = [int(x) for x in
               os.environ.get("GRAFT_SCALING_LEVELS", "2,8,32").split(",")]
-    results, all_trials = [], []
-    for cpus in levels:
-        runs = [child(cpus) for _ in range(trials)]
-        all_trials.extend(runs)
-        results.append(min(runs, key=lambda r: r["seconds"]))
+    # INTERLEAVE trials across levels (round-robin) instead of running each
+    # level's trials back-to-back: a multi-minute noisy window on this shared
+    # sandbox then degrades one trial of EVERY level rather than every trial
+    # of ONE level, which would skew the ratio (measured: one level's three
+    # consecutive trials all 25% slow while the same command minutes later
+    # reproduced the fast time 3/3)
+    runs_by_level: dict[int, list] = {c: [] for c in levels}
+    all_trials = []
+    for _ in range(trials):
+        for cpus in levels:
+            r = child(cpus)
+            runs_by_level[cpus].append(r)
+            all_trials.append(r)
+    results = [min(runs_by_level[c], key=lambda r: r["seconds"]) for c in levels]
     by_cpu = {r["num_cpus"]: r["rows_per_sec"] for r in results}
     effs = {}
     for lo, hi in zip(levels, levels[1:]):

@@ -57,6 +57,26 @@ def cmd_synth(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_convert(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray
+
+    from bibexpy_ray.sources.formats import convert
+
+    out = convert(args.input, args.out, args.from_fmt, args.to_fmt)
+    print(json.dumps({"path": out, "from": args.from_fmt, "to": args.to_fmt}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    # driver-side control plane — no Ray session needed
+    from bibexpy_ray.state import audit
+
+    print(audit.format_markdown_report(args.run_dir))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bibexpy_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -74,6 +94,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_synth)
+
+    c = sub.add_parser("convert", help="any-to-any format conversion (streaming)")
+    c.add_argument("--input", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--from", dest="from_fmt", required=True,
+                   choices=["tagged", "scopus_csv", "parquet", "csv"])
+    c.add_argument("--to", dest="to_fmt", required=True,
+                   choices=["tagged", "bibtex", "ris", "parquet", "csv", "tsv"])
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_convert)
+
+    r = sub.add_parser("report", help="render a run dir's Markdown ops report")
+    r.add_argument("--run-dir", required=True)
+    r.set_defaults(fn=cmd_report)
 
     args = p.parse_args(argv)
     return args.fn(args)

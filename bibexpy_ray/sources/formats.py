@@ -205,6 +205,54 @@ def export_filtered(
 
 
 # ---------------------------------------------------------------------------
+# any-to-any converter (the reference's stateless converter tool,
+# /root/reference/apps/api/routers/tools.py + services/converter.py —
+# semantics reimplemented as one streaming read -> write over a Dataset)
+# ---------------------------------------------------------------------------
+
+def _read_fmt(path: str, fmt: str) -> rd.Dataset:
+    if fmt == "tagged":
+        from bibexpy_ray.sources.tagged_text import read_tagged_text
+
+        return read_tagged_text(path)
+    if fmt == "scopus_csv":
+        return read_scopus_csv(path)
+    if fmt == "parquet":
+        return rd.read_parquet(path)
+    if fmt == "csv":
+        return rd.read_csv(path)
+    raise ValueError(f"unknown input format {fmt!r}")
+
+
+def convert(src: str, out_dir: str, in_fmt: str, out_fmt: str) -> str:
+    """Any-to-any format conversion in one streaming pass (never materializes
+    the table on the driver). Input formats: tagged | scopus_csv | parquet |
+    csv. Output formats: tagged | bibtex | ris | parquet | csv | tsv."""
+    ds = _read_fmt(src, in_fmt)
+    if out_fmt == "tagged":
+        from bibexpy_ray.sources.tagged_text import write_tagged_text
+
+        return write_tagged_text(ds, out_dir)
+    if out_fmt in EXPORT_SINKS:
+        return EXPORT_SINKS[out_fmt](ds, out_dir)
+    if out_fmt == "parquet":
+        ds.write_parquet(out_dir)
+        return out_dir
+    if out_fmt in ("csv", "tsv"):
+        delim = "\t" if out_fmt == "tsv" else ","
+
+        def csv_args():
+            # WriteOptions is not picklable — build it on the worker
+            from pyarrow import csv as pacsv
+
+            return {"write_options": pacsv.WriteOptions(delimiter=delim)}
+
+        ds.write_csv(out_dir, arrow_csv_args_fn=csv_args)
+        return out_dir
+    raise ValueError(f"unknown output format {out_fmt!r}")
+
+
+# ---------------------------------------------------------------------------
 # Scopus-style CSV reader
 # ---------------------------------------------------------------------------
 

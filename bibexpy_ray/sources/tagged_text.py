@@ -14,7 +14,9 @@ its metadata tables, re-expressed Ray-Data-first:
 
 Format: ``TAG value`` lines, continuation lines start with three spaces,
 ``ER`` ends a record, blank line between records. Tags are column names
-(upper-cased, padded); values are str()-serialized scalars.
+written case-preserving (WoS exports already use uppercase tags, and our own
+lowercase metadata columns round-trip unchanged); values are str()-serialized
+scalars.
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ def format_records(batch: pd.DataFrame) -> str:
                 continue
             text = str(v)
             parts = text.split("\n")
-            tag = col.upper()[:8].ljust(2)
+            tag = col[:64].ljust(2)
             lines.append(f"{tag} {parts[0]}")
             for cont in parts[1:]:
                 lines.append(_CONT + cont)
@@ -68,9 +70,8 @@ def parse_records(text: str) -> list[dict[str, Any]]:
                 records.append(cur)
             cur, last_tag = {}, None
             continue
-        key = tag.lower()
-        cur[key] = value.strip() if key not in cur else cur[key] + "; " + value.strip()
-        last_tag = key
+        cur[tag] = value.strip() if tag not in cur else cur[tag] + "; " + value.strip()
+        last_tag = tag
     if cur:
         records.append(cur)
     return records

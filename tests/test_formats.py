@@ -139,3 +139,42 @@ def test_scopus_csv_reader(tmp_path):
 def test_header_map_complete():
     # all 31 reference entries present
     assert len(SCOPUS_HEADER_MAP) == 31
+
+
+def test_convert_any_to_any(ray_session, tmp_path):
+    from bibexpy_ray.sources.formats import convert
+    from bibexpy_ray.sources.tagged_text import write_tagged_text
+
+    # seed a tagged-text dir from RECORDS
+    src = str(tmp_path / "tagged")
+    write_tagged_text(rd.from_pandas(RECORDS), src)
+
+    # tagged -> parquet: table round-trips by content
+    pq_dir = str(tmp_path / "pq")
+    convert(src, pq_dir, "tagged", "parquet")
+    back = rd.read_parquet(pq_dir).to_pandas()
+    assert len(back) == len(RECORDS)
+    assert set(back["TI"]) == set(RECORDS["TI"])
+
+    # parquet -> bibtex: sharded .bib files appear with both entries
+    bib_dir = str(tmp_path / "bib")
+    convert(pq_dir, bib_dir, "parquet", "bibtex")
+    text = "".join(
+        open(os.path.join(bib_dir, f)).read()
+        for f in os.listdir(bib_dir) if f.endswith(".bib")
+    )
+    assert "@article{" in text and "Second paper" in text
+
+    # parquet -> tsv: delimiter honored
+    tsv_dir = str(tmp_path / "tsv")
+    convert(pq_dir, tsv_dir, "parquet", "tsv")
+    tsv_files = [f for f in os.listdir(tsv_dir)]
+    assert tsv_files
+    line = open(os.path.join(tsv_dir, tsv_files[0])).readline()
+    assert "\t" in line
+
+    # unknown formats raise
+    with pytest.raises(ValueError):
+        convert(src, str(tmp_path / "x"), "tagged", "nope")
+    with pytest.raises(ValueError):
+        convert(src, str(tmp_path / "x"), "nope", "parquet")
