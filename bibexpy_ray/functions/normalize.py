@@ -148,6 +148,32 @@ def normalize_id_token(raw: Any) -> Optional[str]:
     return s or None
 
 
+_PAREN_ID_RE = re.compile(r"\s*\([^)]*\)")
+
+
+def sr_tag(au: Any, py: Any) -> str:
+    """SR (source) meta-tag: first author before ';' + ' ' + year, stripped
+    (reference MergeDB.py:27-42 meta_tag_extraction)."""
+    au_s = to_str(au)
+    first = au_s.split(";")[0].strip() if au_s else ""
+    return f"{first} {to_str(py)}".strip()
+
+
+def clean_author_fullnames(raw: Any) -> str:
+    """Strip Scopus '(12345)' id parens from each ';'-separated author name,
+    collapse whitespace, drop empties (reference MergeDB.py:665-699
+    clean_scopus_author_fullnames)."""
+    s = to_str(raw)
+    if not s:
+        return ""
+    out = []
+    for author in s.split(";"):
+        a = _WS_RE.sub(" ", _PAREN_ID_RE.sub("", author.strip())).strip()
+        if a:
+            out.append(a)
+    return "; ".join(out)
+
+
 # ---------------------------------------------------------------------------
 # Vectorized batch form (hot path)
 # ---------------------------------------------------------------------------

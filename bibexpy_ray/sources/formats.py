@@ -280,6 +280,11 @@ def _clean_batch(batch: pd.DataFrame) -> pd.DataFrame:
             out["AU"].astype(str).str.replace(".", "", regex=False)
             .str.replace(",", ";", regex=False)
         )
+    if "AF" in out.columns:
+        # strip Scopus '(12345)' author-id parens (MergeDB.py:665-699)
+        from bibexpy_ray.functions.normalize import clean_author_fullnames
+
+        out["AF"] = out["AF"].map(clean_author_fullnames)
     if "JI" in out.columns:
         out["J9"] = out["JI"].astype(str).str.replace(".", "", regex=False)
     keep = {c: out[c].copy() for c in ("DI", "URL") if c in out.columns}

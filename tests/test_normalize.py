@@ -95,3 +95,23 @@ def test_batch_matches_scalar_fuzz():
     out = N.normalize_text_batch(pa.array(samples)).to_pylist()
     for s, got in zip(samples, out):
         assert got == N.normalize_text(s), repr(s)
+
+
+def test_sr_tag():
+    # reference MergeDB.py:27-42 semantics
+    assert N.sr_tag("Smith, J; Doe, A", "2020") == "Smith, J 2020"
+    assert N.sr_tag(None, "2020") == "2020"
+    assert N.sr_tag("Smith, J", None) == "Smith, J"
+    assert N.sr_tag(float("nan"), float("nan")) == ""
+    assert N.sr_tag("  Lee, K ;X", 1999) == "Lee, K 1999"
+
+
+def test_clean_author_fullnames():
+    # reference MergeDB.py:665-699 example
+    assert N.clean_author_fullnames("CAO, NANNAN (58490132900)") == "CAO, NANNAN"
+    assert (
+        N.clean_author_fullnames("A, B (1); C,  D (2); (3)")
+        == "A, B; C, D"
+    )
+    assert N.clean_author_fullnames(None) == ""
+    assert N.clean_author_fullnames("  Plain Name  ") == "Plain Name"
