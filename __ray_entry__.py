@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_kgrams": textstats.fingerprint_kgrams,
         # dedup family
         "exact_dedup": docdedup.exact_dedup,
+        "composite_dedup": docdedup.composite_dedup,
         "neardup_pairs_char5": docdedup.neardup_pairs_char5,
         "neardup_pairs_word3": docdedup.neardup_pairs_word3,
         "minhash_clusters": docdedup.minhash_clusters,
@@ -322,6 +323,18 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        "composite_dedup": (
+            "WITH k AS (SELECT doc_id, source, n_chars, "
+            "trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9[:space:]]', '', 'g'), "
+            "'[[:space:]]+', ' ', 'g')) || ' ' || coalesce(lang, '') AS ckey "
+            "FROM documents) "
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, "
+            "string_agg(DISTINCT source, '; ' ORDER BY source) AS db_original, "
+            "CASE WHEN count(DISTINCT source) > 1 THEN 'BIBEXPY' "
+            "ELSE min(source) END AS db, "
+            "arg_min(n_chars, doc_id) FILTER (WHERE n_chars IS NOT NULL) AS n_chars "
+            "FROM k GROUP BY ckey"
         ),
         "neardup_pairs_char5": (
             "WITH sh AS (SELECT doc_id, list_distinct([substr(text, CAST(i AS INT), 5) "

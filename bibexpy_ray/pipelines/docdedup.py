@@ -116,6 +116,84 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     )
 
 
+def composite_dedup(sf_dir: str) -> rd.Dataset:
+    """Second-pass composite-key dedup (the reference's title+year pass,
+    /root/reference/packages/bibex_core/MergeDB.py:798-815 — semantics
+    reimplemented): key = non-alnum-stripped, whitespace-collapsed text +
+    ' ' + lang (the clean_title + PY analog); per group keep the most
+    complete record — first non-null value per field in doc_id order
+    (``merge_values``, MergeDB.py:14-25), provenance = sorted distinct
+    sources ';'-joined (``DB_Original``), and the DB flag flips to
+    'BIBEXPY' when more than one source merged (MergeDB.py:813).
+
+    Scale shape: the cleaned key never leaves the mapper — only its 64-bit
+    hash, doc_id and the two small carried fields shuffle; one vectorized
+    reduction per hash partition.
+    """
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    n_parts = 32
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        clean = (
+            batch["text"]
+            .fillna("")
+            .astype(str)
+            .str.replace(r"[^a-zA-Z0-9\s]", "", regex=True)
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        key = clean + " " + batch["lang"].fillna("").astype(str)
+        h = hashing.text_hash_u64(key.tolist())
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "source": batch["source"],
+                "n_chars": batch["n_chars"],
+                "_h": h,
+                "_part": (h % _U64(n_parts)).astype(np.int32),
+            }
+        )
+
+    def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values("doc_id", kind="stable")  # merge_values order
+        g = part.groupby("_h")
+        agg = g.agg(
+            doc_id=("doc_id", "min"),
+            n_copies=("doc_id", "size"),
+            n_chars=("n_chars", "first"),  # pandas 'first' = first non-null
+        )
+        # provenance: sorted distinct non-null sources, ';'-joined
+        u = (
+            part[["_h", "source"]]
+            .dropna()
+            .drop_duplicates()
+            .sort_values(["_h", "source"])
+        )
+        db_orig = u.groupby("_h")["source"].agg("; ".join)
+        agg["db_original"] = db_orig.reindex(agg.index)
+        agg["db"] = np.where(
+            agg["db_original"].str.contains(";", na=False),
+            "BIBEXPY",
+            agg["db_original"],
+        )
+        out = agg.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype(np.int64),
+                "n_copies": out["n_copies"].astype(np.int64),
+                "db_original": out["db_original"],
+                "db": out["db"],
+                "n_chars": out["n_chars"].astype(np.int64),
+            }
+        )
+
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    return hash_partition_apply(
+        ds.map_batches(add_key, batch_format="pandas"), n_parts, reduce_part
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH candidate generation over int-id shingle sets
 # ---------------------------------------------------------------------------

@@ -183,3 +183,48 @@ def test_asof_cogroup_matches_broadcast(entrymod):
     a = asof_join_events_orders(SF_DIR)
     b = asof_join_cogroup(SF_DIR)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_composite_dedup_merges_and_flags(tmp_path, entrymod):
+    """Crafted composite-key duplicates: punctuation/whitespace variants of the
+    same text+lang must collapse; provenance joins sorted distinct sources and
+    the DB flag flips to BIBEXPY only for multi-source groups; per-field value
+    = first non-null in doc_id order (merge_values semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": [3, 1, 2, 10, 11],
+            "text": [
+                "Deep, Learning: a survey!",   # variant of the same title...
+                "Deep Learning   a survey",    # ...all clean to one key
+                "deep learning a survey",      # case differs -> DIFFERENT key
+                "other paper",
+                "other; paper",
+            ],
+            "lang": ["en", "en", "en", "fr", "fr"],
+            "source": ["scopus", "wos", "wos", "wos", "wos"],
+            "n_chars": pa.array([25, None, 22, 11, 12], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (
+        _to_pandas(entrymod.queries()["composite_dedup"](str(tmp_path)))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 10]
+    m = out.set_index("doc_id")
+    # multi-source group: sorted distinct provenance, BIBEXPY flag,
+    # first non-null n_chars in doc_id order (doc 1's is null -> doc 3's 25)
+    assert m.loc[1, "n_copies"] == 2
+    assert m.loc[1, "db_original"] == "scopus; wos"
+    assert m.loc[1, "db"] == "BIBEXPY"
+    assert m.loc[1, "n_chars"] == 25
+    # case-sensitive key keeps doc 2 separate (reference keeps case)
+    assert m.loc[2, "n_copies"] == 1 and m.loc[2, "db"] == "wos"
+    # single-source two-copy group: provenance stays the plain source
+    assert m.loc[10, "n_copies"] == 2
+    assert m.loc[10, "db_original"] == "wos" and m.loc[10, "db"] == "wos"
+    assert m.loc[10, "n_chars"] == 11
