@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "country_rewrite_flags": geo.country_rewrite_flags,
         "entity_clusters": entity.customer_name_clusters,
         "entity_splits": entity.source_lang_splits,
+        "entity_interval_splits": entity.interval_splits,
         "source_classifier": mlscore.source_classifier,
         # filters (filter_engine analogs)
         "filter_range": relational.filter_numeric_range,
@@ -409,6 +410,32 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN rk = 1 THEN mention "
             "ELSE mention || ' (' || chr(CAST(ord('b') + rk - 2 AS INT)) || ')' END AS proposed_name "
             "FROM ranked WHERE nf >= 2"
+        ),
+        "entity_interval_splits": (
+            # transitive token-set field components: records chain through
+            # adjacent n_chars//50 buckets; recursive reachability CTE ≅ the
+            # engine's union-find; largest component keeps the plain name
+            "WITH RECURSIVE r AS (SELECT source AS mention, doc_id, "
+            "CAST(n_chars // 50 AS BIGINT) AS b FROM documents "
+            "WHERE source IS NOT NULL AND source <> '' AND n_chars IS NOT NULL "
+            "AND NOT regexp_matches(source, '\\s*\\((?:[b-z]|\\d+)\\)\\s*$', 'i')), "
+            "e AS (SELECT a.mention, a.doc_id AS x, b.doc_id AS y FROM r a JOIN r b "
+            "ON a.mention = b.mention AND abs(a.b - b.b) <= 1), "
+            "reach(mention, id, rt) AS (SELECT mention, doc_id, doc_id FROM r "
+            "UNION SELECT reach.mention, reach.id, e.y FROM reach JOIN e "
+            "ON reach.mention = e.mention AND reach.rt = e.x), "
+            "comp AS (SELECT mention, id AS doc_id, MIN(rt) AS comp_id "
+            "FROM reach GROUP BY 1, 2), "
+            "sizes AS (SELECT mention, comp_id, COUNT(*) AS n_records, "
+            "MIN(doc_id) AS rec_min FROM comp GROUP BY 1, 2), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY mention "
+            "ORDER BY n_records DESC, rec_min) AS rk, "
+            "count(*) OVER (PARTITION BY mention) AS nc FROM sizes) "
+            "SELECT mention, CASE WHEN rk = 1 THEN mention "
+            "WHEN rk <= 7 THEN mention || ' (' || chr(CAST(ord('b') + rk - 2 AS INT)) || ')' "
+            "ELSE mention || ' (' || CAST(rk - 1 AS VARCHAR) || ')' END AS proposed_name, "
+            "n_records, rec_min, CAST(1 AS BIGINT) AS tier "
+            "FROM ranked WHERE nc >= 2"
         ),
         "fingerprint_kgrams": (
             "SELECT doc_id, CAST(len(list_distinct([substr(text, CAST(i AS INT), 8) "

@@ -261,6 +261,178 @@ def source_lang_splits(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-set field components (blocking.py:266-359 build_author_splits,
+# the full transitive semantics — split_proposals above is the simpler
+# one-value-per-record variant kept for its oracle)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_SPLIT_SUFFIX_RE = _re.compile(r"\s*\((?:[b-z]|\d+)\)\s*$", _re.IGNORECASE)
+
+
+def has_split_suffix(name: str) -> bool:
+    """True for already-split names ('LIU L (b)') — they must never become
+    split candidates again or every scan would re-split them ('(b) (b)');
+    blocking.py:40-46 semantics."""
+    return bool(_SPLIT_SUFFIX_RE.search(str(name or "")))
+
+
+def field_components(field_sets: list[frozenset]) -> list[int]:
+    """Component label per record under the 'shares any field token' relation,
+    transitively closed (blocking.py:266-284 ``_field_components`` semantics).
+
+    The reference scans components per record (O(n·comps) set intersections);
+    here a token-inverted union-find does it in O(Σ|fields|): the first record
+    seen for each token anchors it, later records union into the anchor.
+    Labels are the component's smallest record index.
+    """
+    n = len(field_sets)
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    anchor: dict = {}
+    for i, fs in enumerate(field_sets):
+        for t in fs:
+            j = anchor.setdefault(t, i)
+            if j != i:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # smaller index wins ⇒ label = min index
+    return [find(i) for i in range(n)]
+
+
+_SUFFIXES = ["", "(b)", "(c)", "(d)", "(e)", "(f)", "(g)"]
+
+
+def _suffix(gi: int) -> str:
+    """Component gi (0-based, largest first) → name suffix; beyond (g) the
+    reference falls back to the numeric index (blocking.py:319,341)."""
+    return _SUFFIXES[gi] if gi < len(_SUFFIXES) else f"({gi})"
+
+
+def build_field_splits(df: pd.DataFrame) -> pd.DataFrame:
+    """Split proposals from token-set field evidence, one input row per
+    (mention, record): columns mention, rec_id, fields (list of tokens;
+    empty/None = record without field info).
+
+    Reference semantics (blocking.py:286-359): already-suffixed mentions are
+    skipped; a mention needs ≥ 2 records WITH fields; components via
+    transitive shared-token merge; < 2 components ⇒ no proposal; the largest
+    component keeps the plain name, the rest get (b)(c)… by descending size
+    (ties broken by smallest record id — the deterministic stand-in for the
+    reference's insertion order); any record WITHOUT field info demotes the
+    proposal to Tier 2 (ask), else Tier 1 (auto).
+    """
+    cols = {
+        "mention": pd.Series([], dtype=object),
+        "proposed_name": pd.Series([], dtype=object),
+        "n_records": pd.Series([], dtype=np.int64),
+        "rec_min": pd.Series([], dtype=np.int64),
+        "tier": pd.Series([], dtype=np.int64),
+        "fields": pd.Series([], dtype=object),
+    }
+    rows = []
+    for mention, g in df.groupby("mention"):
+        if not mention or has_split_suffix(mention):
+            continue
+        recs = list(zip(g["rec_id"].tolist(), g["fields"].tolist()))
+        if len(recs) < 2:
+            continue
+        withf = [
+            (rid, frozenset(fs)) for rid, fs in recs if fs is not None and len(fs)
+        ]
+        n_unknown = len(recs) - len(withf)
+        if len(withf) < 2:
+            continue
+        labels = field_components([fs for _, fs in withf])
+        comps: dict[int, list[tuple[int, frozenset]]] = {}
+        for (rid, fs), lab in zip(withf, labels):
+            comps.setdefault(lab, []).append((rid, fs))
+        if len(comps) < 2:
+            continue
+        ordered = sorted(
+            comps.values(), key=lambda c: (-len(c), min(r for r, _ in c))
+        )
+        tier = 2 if n_unknown else 1
+        for gi, comp in enumerate(ordered):
+            suf = _suffix(gi)
+            gfields = sorted({t for _, fs in comp for t in fs})[:8]
+            rows.append(
+                {
+                    "mention": mention,
+                    "proposed_name": mention + (f" {suf}" if suf else ""),
+                    "n_records": len(comp),
+                    "rec_min": min(r for r, _ in comp),
+                    "tier": tier,
+                    "fields": "|".join(str(t) for t in gfields),
+                }
+            )
+    if not rows:
+        return pd.DataFrame(cols)
+    out = pd.DataFrame(rows)
+    return out.astype({c: s.dtype for c, s in cols.items()})
+
+
+def field_component_splits(
+    ds: rd.Dataset, n_parts: int = 32
+) -> rd.Dataset:
+    """Distributed wrapper: ``ds`` has columns (mention, rec_id, fields:
+    list<str>); mentions hash-partition so each group lands whole."""
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[batch["mention"].fillna("") != ""].copy()
+        h = hashing.text_hash_u64(out["mention"].astype(str).tolist())
+        out["_part"] = (h % np.uint64(n_parts)).astype(np.int32)
+        return out
+
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    return hash_partition_apply(
+        ds.map_batches(add_part, batch_format="pandas"), n_parts, build_field_splits
+    )
+
+
+def interval_splits(sf_dir: str) -> pd.DataFrame:
+    """Split-proposal query with TRANSITIVE field evidence: per source, each
+    document carries the interval tokens {n_chars//50, n_chars//50+1}, so
+    records chain through adjacent length buckets and a source whose document
+    lengths have a gap > one bucket splits into ≥ 2 components — exercising
+    the chained-merge semantics the per-value variant (entity_splits) cannot.
+    SQL-expressible ⇒ oracle-checked via a recursive reachability CTE."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        b = (batch["n_chars"] // 50).astype("Int64")
+        keep = batch["source"].fillna("") != ""
+        keep &= b.notna()
+        bb = b[keep].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "mention": batch["source"][keep],
+                "rec_id": batch["doc_id"][keep].astype(np.int64),
+                "fields": [[str(x), str(x + 1)] for x in bb.tolist()],
+            }
+        )
+
+    out = (
+        field_component_splits(ds.map_batches(prep, batch_format="pandas"))
+        .to_pandas()
+        .drop(columns=["fields"])
+        .sort_values(["mention", "proposed_name"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Authority-set (ORCID) arbitration — orcid.py:245-261 analog
 # ---------------------------------------------------------------------------
 

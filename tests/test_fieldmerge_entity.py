@@ -279,3 +279,85 @@ def test_clean_merged_values_parity():
     assert clean_merged_values("  ") == ""
     assert clean_merged_values(None) is None
     assert clean_merged_values(7) == 7
+
+
+# ---------------------------------------------------------------------------
+# Token-set field components (blocking.py:266-359 transitive semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_field_components_transitive_chain():
+    from bibexpy_ray.pipelines.entity import field_components
+
+    # A-{x}, B-{x,y}, C-{y}: chained through B -> ONE component
+    labels = field_components(
+        [frozenset({"x"}), frozenset({"x", "y"}), frozenset({"y"})]
+    )
+    assert len(set(labels)) == 1
+    # disjoint sets stay apart; later record touching two comps merges them
+    labels = field_components(
+        [frozenset({"a"}), frozenset({"b"}), frozenset({"a", "b"})]
+    )
+    assert len(set(labels)) == 1
+    labels = field_components([frozenset({"a"}), frozenset({"b"})])
+    assert len(set(labels)) == 2
+    # labels are the component's smallest record index
+    assert field_components(
+        [frozenset({"q"}), frozenset({"z"}), frozenset({"q"})]
+    ) == [0, 1, 0]
+
+
+def test_build_field_splits_reference_decision_table():
+    import pandas as pd
+
+    from bibexpy_ray.pipelines.entity import build_field_splits
+
+    df = pd.DataFrame(
+        {
+            # m1: two disjoint groups, clean Tier 1 split; sizes 2 vs 1
+            # m2: chained (shared token bridges) -> single comp, no proposal
+            # m3: disjoint groups + one record WITHOUT fields -> Tier 2
+            # m4 (b): already-suffixed mention must be skipped (idempotency)
+            # m5: only one record with fields -> undecidable, skipped
+            "mention": ["m1"] * 3 + ["m2"] * 3 + ["m3"] * 3 + ["m4 (b)"] * 2 + ["m5"] * 2,
+            "rec_id": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13],
+            "fields": [
+                ["cs"], ["cs", "ml"], ["bio"],
+                ["cs"], ["cs", "bio"], ["bio"],
+                ["cs"], ["bio"], None,
+                ["cs"], ["bio"],
+                ["cs"], [],
+            ],
+        }
+    )
+    out = build_field_splits(df).sort_values(["mention", "proposed_name"])
+    assert out["mention"].unique().tolist() == ["m1", "m3"]
+    m1 = out[out["mention"] == "m1"]
+    # largest comp keeps the plain name, smaller gets (b); Tier 1
+    assert m1["proposed_name"].tolist() == ["m1", "m1 (b)"]
+    assert m1["n_records"].tolist() == [2, 1]
+    assert m1["tier"].tolist() == [1, 1]
+    assert m1["fields"].tolist() == ["cs|ml", "bio"]
+    m3 = out[out["mention"] == "m3"]
+    assert m3["tier"].tolist() == [2, 2]  # unknown record demotes to ask
+    # size tie broken by smallest record id: rec 7 comp keeps plain name
+    assert m3[m3["proposed_name"] == "m3"]["rec_min"].tolist() == [7]
+
+
+def test_build_field_splits_suffix_rollover():
+    import pandas as pd
+
+    from bibexpy_ray.pipelines.entity import build_field_splits
+
+    # 9 singleton components: suffixes run "", (b)..(g), then numeric (7), (8)
+    df = pd.DataFrame(
+        {
+            "mention": ["m"] * 9,
+            "rec_id": list(range(9)),
+            "fields": [[f"t{i}"] for i in range(9)],
+        }
+    )
+    out = build_field_splits(df)
+    assert out["proposed_name"].tolist() == [
+        "m", "m (b)", "m (c)", "m (d)", "m (e)", "m (f)", "m (g)", "m (7)", "m (8)"
+    ]
