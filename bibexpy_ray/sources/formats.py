@@ -253,6 +253,99 @@ def convert(src: str, out_dir: str, in_fmt: str, out_fmt: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# auto_prepare: implicit raw → columnar preparation with skip-if-fresh
+# ---------------------------------------------------------------------------
+
+
+def _newest_mtime(paths: list[str]) -> float:
+    return max((os.stat(p).st_mtime for p in paths), default=0.0)
+
+
+def auto_prepare(raw_dir: str, processed_dir: str, *, log=None) -> dict:
+    """Convert raw exports (Scopus CSVs, WoS tagged .txt/.isi) into
+    consolidated parquet under ``processed_dir`` — the IMPLICIT first phase
+    of a merge run, replaying the reference's ``auto_prepare``
+    (/root/reference/apps/api/services/converter.py:79-145 — semantics
+    reimplemented):
+
+    - skip-if-fresh: a source kind is reconverted only when its newest raw
+      file is newer than the prepared output (or the output is missing /
+      its recorded input set changed — a marker file carries both, the
+      RunDir-style strengthening of the reference's pure-mtime check);
+    - errors never raise: a failing kind lands in ``skipped`` so a
+      single-source merge can still proceed;
+    - each kind consolidates ALL of its raw files in one streaming pass.
+
+    Returns {"scopus": path|None, "wos": path|None, "csv": n, "txt": n,
+    "skipped": [...], "did_convert": bool}.
+    """
+    import json
+
+    report: dict = {
+        "scopus": None, "wos": None,
+        "csv": 0, "txt": 0, "skipped": [], "did_convert": False,
+    }
+    if not os.path.isdir(raw_dir):
+        return report
+    entries = sorted(os.listdir(raw_dir))
+    csv_files = [os.path.join(raw_dir, f) for f in entries if f.lower().endswith(".csv")]
+    txt_files = [
+        os.path.join(raw_dir, f)
+        for f in entries
+        if f.lower().endswith((".txt", ".isi"))
+    ]
+    report["csv"] = len(csv_files)
+    report["txt"] = len(txt_files)
+
+    def _fingerprint(paths: list[str]) -> dict:
+        return {
+            "files": [os.path.basename(p) for p in paths],
+            "newest_mtime": _newest_mtime(paths),
+        }
+
+    def _fresh(out_dir: str, paths: list[str]) -> bool:
+        marker = os.path.join(out_dir, "_PREPARED.json")
+        if not os.path.exists(marker):
+            return False
+        try:
+            rec = json.load(open(marker))
+        except (OSError, ValueError):
+            return False
+        fp = _fingerprint(paths)
+        return rec.get("files") == fp["files"] and rec.get("newest_mtime", -1.0) >= fp["newest_mtime"]
+
+    def _convert(kind: str, paths: list[str], reader) -> None:
+        out_dir = os.path.join(processed_dir, kind)
+        if _fresh(out_dir, paths):
+            report[kind] = out_dir
+            if log:
+                log(f"{kind} already prepared (up to date)")
+            return
+        try:
+            if log:
+                log(f"preparing {kind} — {len(paths)} file(s) → {out_dir}")
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)  # drop stale shards
+            os.makedirs(out_dir, exist_ok=True)
+            reader(paths).write_parquet(out_dir)
+            with open(os.path.join(out_dir, "_PREPARED.json"), "w") as fh:
+                json.dump(_fingerprint(paths), fh)
+            report[kind] = out_dir
+            report["did_convert"] = True
+        except Exception as e:  # noqa: BLE001 — single-source merge proceeds
+            report["skipped"].append(f"{kind}: {e}")
+
+    if csv_files:
+        _convert("scopus", csv_files, read_scopus_csv)
+    if txt_files:
+        from bibexpy_ray.sources.tagged_text import read_tagged_text
+
+        _convert("wos", txt_files, read_tagged_text)
+    return report
+
+
+# ---------------------------------------------------------------------------
 # Scopus-style CSV reader
 # ---------------------------------------------------------------------------
 
