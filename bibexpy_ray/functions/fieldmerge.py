@@ -269,6 +269,183 @@ def merge_references(wos_refs: Any, scopus_refs: Any) -> str:
     return "; ".join(out)
 
 
+# ---------------------------------------------------------------------------
+# Remaining specialized two-source mergers (MergeDB.py:63-733 — semantics
+# reimplemented; together with language/open_access/references above this is
+# the reference's complete 15-merger family)
+# ---------------------------------------------------------------------------
+
+
+def _ascii_fold(s: str) -> str:
+    """Whitespace-collapsed, accent-folded, case-PRESERVED (the unidecode
+    analog used by the keyword/publisher cleaners)."""
+    import unicodedata
+
+    s = _WS_RE.sub(" ", s.strip())
+    return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
+
+
+_LETTERS_ONLY_RE = re.compile(r"[^A-Z]")
+
+
+def author_key(author: str) -> str:
+    """Matching key for a short-form author: letters of the first token,
+    folded upper (MergeDB.py:82-89)."""
+    parts = _ascii_fold_upper(author).split()
+    return _LETTERS_ONLY_RE.sub("", parts[0]) if parts else ""
+
+
+def merge_author_fields(wos_authors: Any, scopus_authors: Any) -> str:
+    """AU merge, WoS format as reference (MergeDB.py:63-106): WoS authors
+    first in their order, then Scopus authors whose key is absent from WoS.
+    Faithful to the reference: Scopus-vs-Scopus duplicates are NOT collapsed
+    (only the WoS dict is consulted)."""
+    wos_list = [a.strip() for a in to_str(wos_authors).split(";") if a.strip()]
+    wos_keys = {author_key(a) for a in wos_list}
+    merged = wos_list.copy()
+    for a in (a.strip() for a in to_str(scopus_authors).split(";")):
+        if a and author_key(a) not in wos_keys:
+            merged.append(a)
+    return "; ".join(merged)
+
+
+_PAREN_ID_RE = re.compile(r"\s*\([^)]*\)")
+
+
+def clean_fullname(author: str) -> str:
+    """Drop '(...)' ids, collapse whitespace, fold accents (MergeDB.py:119-127)."""
+    return _ascii_fold(_PAREN_ID_RE.sub("", author))
+
+
+def fullname_key(author: str) -> str:
+    """LASTNAME key of a 'Last, First' full name; '' when no comma
+    (MergeDB.py:128-136)."""
+    parts = clean_fullname(author).split(",", 1)
+    return parts[0].strip().upper() if len(parts) >= 2 else ""
+
+
+def merge_author_fullnames(wos_af: Any, scopus_af: Any) -> str:
+    """AF merge (MergeDB.py:108-156): WoS full names verbatim, then CLEANED
+    Scopus names with a non-empty lastname key absent from WoS. Joined with
+    ';' (no space) — the reference's exact output quirk."""
+    wos_list = [a.strip() for a in to_str(wos_af).split(";") if a.strip()]
+    wos_keys = {fullname_key(a) for a in wos_list}
+    merged = wos_list.copy()
+    for a in (a.strip() for a in to_str(scopus_af).split(";")):
+        if not a:
+            continue
+        k = fullname_key(a)
+        if k and k not in wos_keys:
+            merged.append(clean_fullname(a))
+    return ";".join(merged)
+
+
+def merge_address_fields(wos_addresses: Any, scopus_addresses: Any) -> str:
+    """C1: Scopus wins when present, else WoS (MergeDB.py:157-184)."""
+    return to_str(scopus_addresses).strip() or to_str(wos_addresses).strip()
+
+
+def merge_reprint_author(wos_rp: Any, scopus_rp: Any) -> str:
+    """RP: WoS wins when present, else Scopus, no formatting (MergeDB.py:186-208)."""
+    return to_str(wos_rp).strip() or to_str(scopus_rp).strip()
+
+
+_COPYRIGHT_RE = re.compile(r"©.*?RESERVED\.?$", re.IGNORECASE)
+
+
+def clean_abstract(ab: Any) -> str:
+    s = to_str(ab)
+    if not s:
+        return ""
+    return _COPYRIGHT_RE.sub("", _WS_RE.sub(" ", s.strip())).strip()
+
+
+def merge_abstracts(wos_ab: Any, scopus_ab: Any) -> str:
+    """AB: copyright-tail-stripped, longer text wins; length tie → Scopus
+    (MergeDB.py:280-312's exact comparison)."""
+    w, s = clean_abstract(wos_ab), clean_abstract(scopus_ab)
+    if not w:
+        return s
+    if not s:
+        return w
+    return w if len(w) > len(s) else s
+
+
+def merge_keyword_lists(wos_keywords: Any, scopus_keywords: Any) -> str:
+    """DE / ID merge (MergeDB.py:313-395, identical for both tags): fold
+    accents preserving case, first occurrence wins a case-insensitive dedup
+    (WoS order first), then case-insensitive alphabetical sort."""
+
+    def clean(kw: str) -> str:
+        return _ascii_fold(kw)
+
+    toks = [
+        clean(kw)
+        for src in (wos_keywords, scopus_keywords)
+        for kw in to_str(src).split(";")
+        if clean(kw)
+    ]
+    seen: set[str] = set()
+    uniq: list[str] = []
+    for kw in toks:
+        u = kw.upper()
+        if u not in seen:
+            seen.add(u)
+            uniq.append(kw)
+    uniq.sort(key=str.upper)
+    return "; ".join(uniq)
+
+
+merge_keywords = merge_keyword_lists
+merge_index_keywords = merge_keyword_lists
+
+
+def merge_publisher(wos_pub: Any, scopus_pub: Any) -> str:
+    """PU: accent-folded, longer name wins (usually more complete); tie →
+    WoS (MergeDB.py:397-431's exact comparison)."""
+    w, s = _ascii_fold(to_str(wos_pub)), _ascii_fold(to_str(scopus_pub))
+    if not w:
+        return s
+    if not s:
+        return w
+    return s if len(s) > len(w) else w
+
+
+_DT_CLEAN_RE = re.compile(r"[^A-Z0-9\s]")
+
+
+def merge_document_type(wos_dt: Any, scopus_dt: Any) -> str:
+    """DT: upper-fold, strip punctuation, union of ';'-split types, sorted
+    (MergeDB.py:522-569). Faithful quirk: the cleaner strips ';' BEFORE the
+    multi-type split (as the reference does), so each source contributes one
+    cleaned type string and the split is effectively a two-element union."""
+
+    def clean(dt: Any) -> str:
+        s = to_str(dt)
+        return _DT_CLEAN_RE.sub("", _ascii_fold_upper(s)) if s else ""
+
+    w, s = clean(wos_dt), clean(scopus_dt)
+    if not w:
+        return s
+    if not s:
+        return w
+    types = {t.strip() for t in w.split(";") if t.strip()}
+    types |= {t.strip() for t in s.split(";") if t.strip()}
+    return "; ".join(sorted(types))
+
+
+def merge_url(wos_url: Any, scopus_url: Any) -> str:
+    """URL: WoS wins when present, else Scopus (MergeDB.py:571-593)."""
+    return to_str(wos_url).strip() or to_str(scopus_url).strip()
+
+
+def merge_source_title(wos_so: Any, scopus_so: Any) -> str:
+    """SO: Scopus preferred when both exist (MergeDB.py:701-733)."""
+    w = _WS_RE.sub(" ", to_str(wos_so).strip())
+    s = _WS_RE.sub(" ", to_str(scopus_so).strip())
+    return s or w
+
+
 MergePolicy = Callable[[list[Any]], str]
 
 #: default per-field policies for the image+caption record (the Caputo-table
@@ -292,6 +469,17 @@ _TWO_SOURCE_FNS: dict[str, Callable[[Any, Any], str]] = {
     "language": merge_language,
     "open_access": merge_open_access,
     "references": merge_references,
+    "author_fields": merge_author_fields,
+    "author_fullnames": merge_author_fullnames,
+    "address": merge_address_fields,
+    "reprint": merge_reprint_author,
+    "abstract": merge_abstracts,
+    "keywords": merge_keyword_lists,
+    "index_keywords": merge_keyword_lists,
+    "publisher": merge_publisher,
+    "document_type": merge_document_type,
+    "url": merge_url,
+    "source_title": merge_source_title,
 }
 
 

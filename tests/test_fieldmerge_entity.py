@@ -361,3 +361,122 @@ def test_build_field_splits_suffix_rollover():
     assert out["proposed_name"].tolist() == [
         "m", "m (b)", "m (c)", "m (d)", "m (e)", "m (f)", "m (g)", "m (7)", "m (8)"
     ]
+
+
+# ---------------------------------------------------------------------------
+# Remaining specialized mergers (MergeDB.py:63-733 complete family)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_author_fields_wos_reference_order():
+    from bibexpy_ray.functions.fieldmerge import merge_author_fields
+
+    # WoS order preserved; Scopus author with a NEW first-token key appended
+    assert (
+        merge_author_fields("ZHANG C; GUO R", "Zhang, Chen; Li K.")
+        == "ZHANG C; GUO R; Li K."
+    )
+    # accent fold in the key: MÜLLER matches MULLER
+    assert merge_author_fields("MULLER A", "Müller, A.") == "MULLER A"
+    # empty WoS -> Scopus passes through (scopus-vs-scopus dups NOT collapsed,
+    # faithful to the reference's wos-dict-only check)
+    assert merge_author_fields("", "Li K.; Li K.") == "Li K.; Li K."
+    assert merge_author_fields(None, "") == ""
+
+
+def test_merge_author_fullnames_key_and_join_quirk():
+    from bibexpy_ray.functions.fieldmerge import merge_author_fullnames
+
+    # scopus name cleaned of (id) parens; ';'-joined WITHOUT space (reference quirk)
+    assert (
+        merge_author_fullnames("Zhang, Chen", "Lee, Kai (57190)")
+        == "Zhang, Chen;Lee, Kai"
+    )
+    # same lastname key -> not appended
+    assert merge_author_fullnames("Zhang, Chen", "ZHANG, C.") == "Zhang, Chen"
+    # scopus name without a comma has no key -> never appended
+    assert merge_author_fullnames("Zhang, Chen", "Mononym") == "Zhang, Chen"
+
+
+def test_merge_address_reprint_url_source_title_priorities():
+    from bibexpy_ray.functions.fieldmerge import (
+        merge_address_fields,
+        merge_reprint_author,
+        merge_source_title,
+        merge_url,
+    )
+
+    # C1: scopus-first; RP/URL: wos-first; SO: scopus-first
+    assert merge_address_fields("w addr", "s addr") == "s addr"
+    assert merge_address_fields("w addr", "  ") == "w addr"
+    assert merge_reprint_author("w rp", "s rp") == "w rp"
+    assert merge_reprint_author("", "s rp") == "s rp"
+    assert merge_url("http://w", "http://s") == "http://w"
+    assert merge_url(None, "http://s") == "http://s"
+    assert merge_source_title("J  WoS", "J Scopus") == "J Scopus"
+    assert merge_source_title("J  WoS", None) == "J WoS"  # whitespace collapsed
+
+
+def test_merge_abstracts_copyright_strip_and_longer():
+    from bibexpy_ray.functions.fieldmerge import merge_abstracts
+
+    w = "Short text. © 2020 ALL RIGHTS RESERVED."
+    s = "A longer abstract body with more words."
+    assert merge_abstracts(w, s) == s  # copyright tail stripped before compare
+    assert merge_abstracts("This is the longer one truly", "short") == (
+        "This is the longer one truly"
+    )
+    # exact length tie -> scopus (reference's > comparison)
+    assert merge_abstracts("abcd", "wxyz") == "wxyz"
+    assert merge_abstracts("", "") == ""
+
+
+def test_merge_keywords_case_insensitive_dedup_sorted():
+    from bibexpy_ray.functions.fieldmerge import merge_keywords
+
+    out = merge_keywords("Deep Learning; graphs", "GRAPHS; Álgebra; deep learning")
+    # first occurrence wins the case battle; sorted case-insensitively; accents folded
+    assert out == "Algebra; Deep Learning; graphs"
+    assert merge_keywords("", "") == ""
+
+
+def test_merge_publisher_longer_wins_tie_wos():
+    from bibexpy_ray.functions.fieldmerge import merge_publisher
+
+    assert merge_publisher("Elsevier", "Elsevier B.V. Amsterdam") == (
+        "Elsevier B.V. Amsterdam"
+    )
+    assert merge_publisher("Springer", "Elsevie") == "Springer"  # tie-break len: wos
+    assert merge_publisher("", "ACM") == "ACM"
+
+
+def test_merge_document_type_union_sorted():
+    from bibexpy_ray.functions.fieldmerge import merge_document_type
+
+    # faithful reference quirk (MergeDB.py:539-543): the cleaner strips ';'
+    # BEFORE the multi-type split, so each source contributes ONE cleaned type
+    assert merge_document_type("Article", "Review; article") == (
+        "ARTICLE; REVIEW ARTICLE"
+    )
+    assert merge_document_type("Article", "ARTICLE") == "ARTICLE"
+    assert merge_document_type("Proc. Paper!", "") == "PROC PAPER"
+    assert merge_document_type(None, None) == ""
+
+
+def test_merge_record_uses_new_two_source_policies():
+    from bibexpy_ray.functions.fieldmerge import merge_record
+
+    rows = [
+        {"src": "wos", "AU": "ZHANG C", "AB": "short", "SO": "J WoS"},
+        {"src": "scopus", "AU": "Zhang, C.; Li K.", "AB": "a much longer abstract",
+         "SO": "J Scopus"},
+    ]
+    merged, conflicts = merge_record(
+        rows,
+        policies={"AU": "author_fields", "AB": "abstract", "SO": "source_title"},
+        source_field="src",
+        source_order=["wos", "scopus"],
+    )
+    assert merged["AU"] == "ZHANG C; Li K."
+    assert merged["AB"] == "a much longer abstract"
+    assert merged["SO"] == "J Scopus"
