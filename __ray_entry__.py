@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_types": relational.top_event_types,
         "quality_stats": relational.quality_stats,
         "field_status_report": relational.field_status_report,
+        "metadata_statistics": relational.metadata_statistics,
         "facets": relational.facets,
         "value_buckets": relational.value_buckets,
         # joins (broadcast small-side)
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         # text analysis
         "token_stats": textstats.token_stats,
+        "token_stats_bpe": textstats.token_stats_bpe,
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
         "fingerprint": textstats.fingerprint,
@@ -109,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_clusters": multimodal.image_dedup_clusters,
         "image_resize_stats": multimodal.image_resize_stats,
         "video_frame_sample": multimodal.video_frame_sample,
+        "audio_feature_stats": multimodal.audio_feature_stats,
     }
 
 
@@ -277,6 +280,26 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 100 * n_missing < 40 * total THEN 'Poor' "
             "ELSE 'Very Poor' END AS status FROM s"
         ),
+        "metadata_statistics": (
+            "WITH s AS ("
+            "SELECT 'lang' AS column_name, "
+            "count(*) FILTER (WHERE lang IS NULL OR trim(lang) = '') AS n_missing, "
+            "count(*) AS total FROM documents "
+            "UNION ALL SELECT 'n_chars', count(*) - count(n_chars), count(*) FROM documents "
+            "UNION ALL SELECT 'source', "
+            "count(*) FILTER (WHERE source IS NULL OR trim(source) = ''), count(*) FROM documents "
+            "UNION ALL SELECT 'text', "
+            "count(*) FILTER (WHERE text IS NULL OR trim(text) = ''), count(*) FROM documents) "
+            "SELECT column_name, n_missing, "
+            "CAST((n_missing * 10000) // total AS BIGINT) AS missing_bp, "
+            "CASE WHEN n_missing = 0 THEN 'Excellent' "
+            "WHEN 100 * n_missing < 1 * total THEN 'Very Good' "
+            "WHEN 100 * n_missing < 5 * total THEN 'Good' "
+            "WHEN 100 * n_missing < 20 * total THEN 'Acceptable' "
+            "WHEN 100 * n_missing < 50 * total THEN 'Poor' "
+            "WHEN 100 * n_missing < 90 * total THEN 'Critical' "
+            "ELSE 'Completely Missing' END AS status FROM s"
+        ),
         "facets": (
             "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
             "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars, "
@@ -311,6 +334,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
             "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+        ),
+        "token_stats_bpe": (
+            # IDENTICAL regex as the engine (BPE_SPLIT_PATTERN is RE2-safe)
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+')) AS BIGINT) "
+            "AS n_bpe_tokens, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens "
+            "FROM documents"
         ),
         "quality_score": (
             "SELECT doc_id, "

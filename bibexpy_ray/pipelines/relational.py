@@ -390,6 +390,98 @@ def field_status_report(sf_dir: str) -> pd.DataFrame:
     )
 
 
+#: the merge-report band scheme (stats_utils.py:71-87 — a second, finer
+#: ladder than smart_merger's): 0 / <1% / <5% / <20% / <50% / <90% / else
+_METADATA_BANDS = [
+    (1, "Very Good"), (5, "Good"), (20, "Acceptable"),
+    (50, "Poor"), (90, "Critical"),
+]
+
+
+def metadata_status(n_missing: int, total: int) -> str:
+    """stats_utils.generate_metadata_statistics band (integer-exact)."""
+    if n_missing == 0:
+        return "Excellent"
+    for band, label in _METADATA_BANDS:
+        if 100 * n_missing < band * total:
+            return label
+    return "Completely Missing"
+
+
+def metadata_statistics(sf_dir: str) -> pd.DataFrame:
+    """Merge-report metadata quality table (stats_utils.py:44-96
+    generate_metadata_statistics — semantics reimplemented): per-field
+    missing count + integer basis-point rate + the seven-band status."""
+    stats = quality_stats(sf_dir)
+    total = (stats["n_filled"] + stats["n_missing"]).astype(np.int64)
+    miss = stats["n_missing"].astype(np.int64)
+    return pd.DataFrame(
+        {
+            "column_name": stats["column_name"],
+            "n_missing": miss,
+            "missing_bp": (miss * 10000) // total,
+            "status": [metadata_status(int(m), int(t)) for m, t in zip(miss, total)],
+        }
+    )
+
+
+def merge_statistics(
+    wos_ds: rd.Dataset, scopus_ds: rd.Dataset, merged_ds: rd.Dataset
+) -> dict:
+    """Cross-dataset merge report (stats_utils.py:4-42
+    generate_detailed_statistics — semantics reimplemented): row totals,
+    column counts, common columns, and empty-cell rates, all computed by
+    streaming aggregation (never collects a table). Rates are integer basis
+    points so the report is deterministic across partitionings."""
+
+    def empty_cells(ds: rd.Dataset) -> tuple[int, int]:
+        cols = ds.schema().names
+
+        def partial(batch: pa.Table) -> pa.Table:
+            miss = 0
+            for c in cols:
+                col = batch.column(c)
+                if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                    blank = pc.or_kleene(
+                        pc.is_null(col),
+                        pc.equal(pc.utf8_trim_whitespace(pc.fill_null(col, "")), ""),
+                    )
+                    miss += pc.sum(pc.cast(blank, pa.int64())).as_py() or 0
+                else:
+                    miss += col.null_count
+            return pa.table(
+                {
+                    "n_rows": pa.array([batch.num_rows], type=pa.int64()),
+                    "n_empty": pa.array([miss], type=pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return int(parts["n_rows"].sum()), int(parts["n_empty"].sum())
+
+    def table_stats(ds: rd.Dataset) -> dict:
+        n_cols = len(ds.schema().names)
+        n_rows, n_empty = empty_cells(ds)
+        cells = n_rows * n_cols
+        return {
+            "rows": n_rows,
+            "columns": n_cols,
+            "empty_cell_bp": (n_empty * 10000) // cells if cells else 0,
+        }
+
+    w, s, m = table_stats(wos_ds), table_stats(scopus_ds), table_stats(merged_ds)
+    total_in = w["rows"] + s["rows"]
+    return {
+        "wos": w,
+        "scopus": s,
+        "merged": m,
+        "common_columns": len(
+            set(wos_ds.schema().names) & set(scopus_ds.schema().names)
+        ),
+        "merge_rate_bp": (m["rows"] * 10000) // total_in if total_in else 0,
+    }
+
+
 def facets(sf_dir: str) -> pd.DataFrame:
     """compute_facets analog (filter_engine.py:214-247): group counts +
     min/max/avg over a numeric column, per (lang, source)."""

@@ -47,6 +47,36 @@ def token_stats(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(stats, batch_format="pandas")
 
 
+#: BPE-ish pre-tokenizer (the GPT-2 split pattern restricted to constructs
+#: RE2 also supports, so the DuckDB oracle applies the IDENTICAL regex):
+#: contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+#: runs. Whitespace itself never forms a token.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def token_stats_bpe(sf_dir: str) -> rd.Dataset:
+    """Per-document BPE-ish token counts: the pre-tokenization split every
+    byte-pair encoder starts from (word/number/punct runs + contraction
+    suffixes) — the 'how many tokens will this cost' estimator for a
+    training-data pipeline. Vectorized ``Series.str.count`` over the
+    compiled pattern; whitespace token count included for the ratio."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "n_bpe_tokens": texts.str.count(BPE_SPLIT_PATTERN).astype(np.int64),
+                "n_ws_tokens": (
+                    texts.str.count(r"\S+").astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
 def quality_score(sf_dir: str) -> rd.Dataset:
     """Heuristic quality scoring: stopword count/ratio + length gate.
 

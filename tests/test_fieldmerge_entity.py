@@ -480,3 +480,42 @@ def test_merge_record_uses_new_two_source_policies():
     assert merged["AU"] == "ZHANG C; Li K."
     assert merged["AB"] == "a much longer abstract"
     assert merged["SO"] == "J Scopus"
+
+
+def test_metadata_status_bands_integer_exact():
+    from bibexpy_ray.pipelines.relational import metadata_status
+
+    assert metadata_status(0, 100) == "Excellent"
+    # <1% — 0.99% is Very Good, exactly 1% is Good (strict < like the reference)
+    assert metadata_status(99, 10000) == "Very Good"
+    assert metadata_status(1, 100) == "Good"
+    assert metadata_status(4, 100) == "Good"
+    assert metadata_status(5, 100) == "Acceptable"
+    assert metadata_status(19, 100) == "Acceptable"
+    assert metadata_status(20, 100) == "Poor"
+    assert metadata_status(49, 100) == "Poor"
+    assert metadata_status(50, 100) == "Critical"
+    assert metadata_status(89, 100) == "Critical"
+    assert metadata_status(90, 100) == "Completely Missing"
+    assert metadata_status(100, 100) == "Completely Missing"
+
+
+def test_merge_statistics_streaming_totals(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from bibexpy_ray.pipelines.relational import merge_statistics
+
+    wos = rd.from_pandas(
+        pd.DataFrame({"TI": ["a", "b", ""], "PY": [2020, None, 2021], "CR": ["x", "y", "z"]})
+    )
+    scopus = rd.from_pandas(pd.DataFrame({"TI": ["c"], "PY": [2022]}))
+    merged = rd.from_pandas(
+        pd.DataFrame({"TI": ["a", "b", "c"], "PY": [2020, 2021, 2022]})
+    )
+    out = merge_statistics(wos, scopus, merged)
+    assert out["wos"] == {"rows": 3, "columns": 3, "empty_cell_bp": 2222}  # 2/9
+    assert out["scopus"] == {"rows": 1, "columns": 2, "empty_cell_bp": 0}
+    assert out["merged"]["rows"] == 3 and out["merged"]["empty_cell_bp"] == 0
+    assert out["common_columns"] == 2  # TI, PY
+    assert out["merge_rate_bp"] == 7500  # 3 of 4 input rows survive

@@ -76,3 +76,39 @@ def test_video_frame_sample_exact():
     for row in sample.itertuples():
         vid = int(row.video_id.split("_", 1)[1])
         assert row.px_sum == by_index[vid * FRAMES_PER_VIDEO + row.frame_idx]
+
+
+def test_audio_feature_stage_bit_exact(ray_session):
+    """AudioFeatureStage features must equal a driver-side recompute of the
+    same deterministic PCM payloads."""
+    import numpy as np
+
+    from bibexpy_ray.pipelines.multimodal import (
+        audio_feature_stats,
+        audio_from_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = audio_feature_stats(sf).to_pandas().set_index("audio_id")
+    src = audio_from_corpus(sf).limit(20).to_pandas()
+    assert len(out) == 500
+    for _, row in src.iterrows():
+        x = np.frombuffer(row["bytes"], dtype=np.int16).astype(np.int64)
+        got = out.loc[row["audio_id"]]
+        assert got["n_samples"] == len(x) == row["n_samples"]
+        assert got["energy"] == int((x * x).sum() // len(x))
+        assert got["zero_crossings"] == int(
+            np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
+        )
+        assert got["peak"] == int(np.abs(x).max())
+
+
+def test_audio_payload_deterministic(ray_session):
+    from bibexpy_ray.pipelines.multimodal import audio_from_corpus
+
+    sf = "/root/testdata/sf0.001"
+    a = audio_from_corpus(sf).limit(5).to_pandas()
+    b = audio_from_corpus(sf).limit(5).to_pandas()
+    # binary columns round-trip as buffers; compare as bytes per row
+    assert [bytes(x) for x in a["bytes"]] == [bytes(x) for x in b["bytes"]]
+    assert (a["n_samples"] == 1024 + a["audio_id"].str.slice(4).astype(int) % 1024).all()
