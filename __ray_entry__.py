@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_splits": entity.source_lang_splits,
         "entity_interval_splits": entity.interval_splits,
         "source_classifier": mlscore.source_classifier,
+        "keyword_tagger": mlscore.keyword_tagger,
         # filters (filter_engine analogs)
         "filter_range": relational.filter_numeric_range,
         "filter_in_set": relational.filter_set_membership,

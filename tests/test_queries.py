@@ -228,3 +228,42 @@ def test_composite_dedup_merges_and_flags(tmp_path, entrymod):
     assert m.loc[10, "n_copies"] == 2
     assert m.loc[10, "db_original"] == "wos" and m.loc[10, "db"] == "wos"
     assert m.loc[10, "n_chars"] == 11
+
+
+def test_keyword_tagger_multilabel(entrymod):
+    """Multilabel tagger: threshold-gated '; '-joined labels in class order,
+    None when nothing clears; per-doc label count consistent."""
+    out = _to_pandas(entrymod.queries()["keyword_tagger"](SF_DIR))
+    assert len(out) == 500
+    nn = out[out["pred_labels"].notna()]
+    assert len(nn) > 0
+    for _, row in nn.head(20).iterrows():
+        labels = row["pred_labels"].split("; ")
+        assert len(labels) == row["n_labels"]
+        assert labels == sorted(labels)  # class order is sorted
+    assert (out.loc[out["pred_labels"].isna(), "n_labels"] == 0).all()
+
+
+def test_multilabel_training_recovers_own_labels():
+    """A centroid trained on clearly-separated label vocabularies must tag a
+    training-like text with its own label."""
+    import ray
+
+    from bibexpy_ray.pipelines.mlscore import (
+        MultiLabelScorer,
+        train_multilabel,
+    )
+
+    texts = ["apple banana cherry"] * 5 + ["delta echo foxtrot"] * 5
+    labels = [["fruit"]] * 5 + [["nato"]] * 5
+    model = train_multilabel(texts, labels)
+    scorer = MultiLabelScorer.__new__(MultiLabelScorer)
+    scorer.centroids, scorer.classes = model
+    import numpy as np
+
+    scorer.classes_arr = np.array(scorer.classes, dtype=object)
+    scorer.threshold = 0.3
+    out = scorer(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["apple cherry", "echo foxtrot"]})
+    )
+    assert out["pred_labels"].tolist() == ["fruit", "nato"]
