@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_pairs_char5": docdedup.neardup_pairs_char5,
         "neardup_pairs_word3": docdedup.neardup_pairs_word3,
         "minhash_clusters": docdedup.minhash_clusters,
+        "neardup_dedup": docdedup.neardup_dedup,
         "simhash_pairs": docdedup.simhash_pairs,
         # similarity search
         "ann_topk": ann.ann_topk,
@@ -426,6 +427,25 @@ def oracle_sql() -> dict[str, str]:
             "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
             "UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a) "
             "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"
+        ),
+        "neardup_dedup": (
+            # survivors of the τ=0.8 char-5 near-dup clusters: min doc_id per
+            # connected component + member count (keep-first corpus dedup)
+            "WITH RECURSIVE sh AS (SELECT doc_id, "
+            "list_distinct([substr(text, CAST(i AS INT), 5) "
+            "FOR i IN range(1, CAST(len(text) AS BIGINT) - 3)]) AS gs "
+            "FROM documents WHERE len(text) >= 5), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) >= "
+            "0.8 * (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))), "
+            "e AS (SELECT id_a AS a, id_b AS b FROM p "
+            "UNION ALL SELECT id_b, id_a FROM p), "
+            "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a), "
+            "comp AS (SELECT id AS m, MIN(r) AS cluster_id FROM reach GROUP BY id) "
+            "SELECT MIN(m) AS doc_id, COUNT(*) AS n_members "
+            "FROM comp GROUP BY cluster_id"
         ),
         "entity_splits": (
             # split proposals: sources serving >= 2 languages → per-language

@@ -579,6 +579,24 @@ def minhash_clusters(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def neardup_dedup(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
+    """End-to-end corpus dedup: near-dup clusters → one SURVIVOR per cluster
+    (min doc_id, the keep-first rule) with its member count — the 'cleaned
+    corpus + how much was removed' output a training-data pipeline feeds
+    downstream. Survivor selection is a vectorized groupby over the cluster
+    assignment (which already shares the char5 pair stage)."""
+    assign = minhash_clusters(sf_dir, tau)
+    g = assign.groupby("cluster_id", as_index=False).agg(
+        doc_id=("doc_id", "min"), n_members=("doc_id", "size")
+    )
+    return (
+        g[["doc_id", "n_members"]]
+        .astype(np.int64)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

@@ -318,6 +318,57 @@ def _suffix(gi: int) -> str:
     return _SUFFIXES[gi] if gi < len(_SUFFIXES) else f"({gi})"
 
 
+def _mention_components(df: pd.DataFrame):
+    """Yield (mention, components-largest-first, tier) for every mention that
+    qualifies for a split proposal (see build_field_splits for the rules)."""
+    for mention, g in df.groupby("mention"):
+        if not mention or has_split_suffix(mention):
+            continue
+        recs = list(zip(g["rec_id"].tolist(), g["fields"].tolist()))
+        if len(recs) < 2:
+            continue
+        withf = [
+            (rid, frozenset(fs)) for rid, fs in recs if fs is not None and len(fs)
+        ]
+        n_unknown = len(recs) - len(withf)
+        if len(withf) < 2:
+            continue
+        labels = field_components([fs for _, fs in withf])
+        comps: dict[int, list[tuple[int, frozenset]]] = {}
+        for (rid, fs), lab in zip(withf, labels):
+            comps.setdefault(lab, []).append((rid, fs))
+        if len(comps) < 2:
+            continue
+        ordered = sorted(
+            comps.values(), key=lambda c: (-len(c), min(r for r, _ in c))
+        )
+        yield mention, ordered, (2 if n_unknown else 1)
+
+
+def build_split_assignments(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-RECORD rename assignments from the split proposals: one row
+    (rec_id, mention, proposed_name) for every record in a non-first
+    component — the input ``apply_splits`` rewrites with. First-component
+    records keep the plain name and are not emitted."""
+    rows = []
+    for mention, ordered, _tier in _mention_components(df):
+        for gi, comp in enumerate(ordered[1:], start=1):
+            name = f"{mention} {_suffix(gi)}"
+            rows.extend(
+                {"rec_id": rid, "mention": mention, "proposed_name": name}
+                for rid, _ in comp
+            )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "rec_id": pd.Series([], dtype=np.int64),
+                "mention": pd.Series([], dtype=object),
+                "proposed_name": pd.Series([], dtype=object),
+            }
+        )
+    return pd.DataFrame(rows).astype({"rec_id": np.int64})
+
+
 def build_field_splits(df: pd.DataFrame) -> pd.DataFrame:
     """Split proposals from token-set field evidence, one input row per
     (mention, record): columns mention, rec_id, fields (list of tokens;
@@ -340,28 +391,7 @@ def build_field_splits(df: pd.DataFrame) -> pd.DataFrame:
         "fields": pd.Series([], dtype=object),
     }
     rows = []
-    for mention, g in df.groupby("mention"):
-        if not mention or has_split_suffix(mention):
-            continue
-        recs = list(zip(g["rec_id"].tolist(), g["fields"].tolist()))
-        if len(recs) < 2:
-            continue
-        withf = [
-            (rid, frozenset(fs)) for rid, fs in recs if fs is not None and len(fs)
-        ]
-        n_unknown = len(recs) - len(withf)
-        if len(withf) < 2:
-            continue
-        labels = field_components([fs for _, fs in withf])
-        comps: dict[int, list[tuple[int, frozenset]]] = {}
-        for (rid, fs), lab in zip(withf, labels):
-            comps.setdefault(lab, []).append((rid, fs))
-        if len(comps) < 2:
-            continue
-        ordered = sorted(
-            comps.values(), key=lambda c: (-len(c), min(r for r, _ in c))
-        )
-        tier = 2 if n_unknown else 1
+    for mention, ordered, tier in _mention_components(df):
         for gi, comp in enumerate(ordered):
             suf = _suffix(gi)
             gfields = sorted({t for _, fs in comp for t in fs})[:8]

@@ -88,6 +88,67 @@ def apply_rewrite(
     return out, {"changed_rows": changed, "total_rows": total}
 
 
+def apply_splits(
+    ds: rd.Dataset,
+    assignments: pd.DataFrame,
+    mention_col: str,
+    rec_col: str,
+    snapshot_col: str | None = None,
+) -> tuple[rd.Dataset, dict]:
+    """Apply split-proposal renames PER RECORD (the reference's
+    ``apply_splits``, pipeline.py:851-975 analog): a record listed in
+    ``assignments`` whose mention matches (whitespace/case-tolerant) is
+    renamed to its component's suffixed name; everything else passes through.
+
+    The assignment table broadcasts once via ``ray.put`` as
+    {rec_id: (mention_lower, proposed_name)}; at 100 TB the assignment side
+    is proposal-sized (dup mentions only), not corpus-sized. Idempotent:
+    renamed mentions carry a split suffix, which the proposal builder skips,
+    so propose → apply → re-propose yields nothing.
+    """
+    a = {
+        int(r): (geo._ws_lower(m), p)
+        for r, m, p in zip(
+            assignments["rec_id"], assignments["mention"], assignments["proposed_name"]
+        )
+    }
+    map_ref = ray.put(a)
+
+    def apply_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        recs = batch[rec_col].to_numpy()
+        vals = batch[mention_col]
+        new = []
+        for rid, v in zip(recs, vals):
+            hit = m.get(int(rid))
+            if hit is not None and geo._ws_lower(v) == hit[0]:
+                new.append(hit[1])
+            else:
+                new.append(v)
+        out = batch.copy()
+        if snapshot_col:
+            out[snapshot_col] = vals
+        out[mention_col] = new
+        out["_changed"] = np.array(
+            [x != y for x, y in zip(vals, new)], dtype=bool
+        )
+        return out
+
+    rewritten = ds.map_batches(apply_batch, batch_format="pandas").materialize()
+    changed = int(
+        rewritten.map_batches(
+            lambda df: pd.DataFrame({"c": [int(df["_changed"].sum())]}),
+            batch_format="pandas",
+        ).sum("c")
+        or 0
+    )
+    total = rewritten.count()
+    out = rewritten.map_batches(
+        lambda df: df.drop(columns=["_changed"]), batch_format="pandas"
+    )
+    return out, {"changed_rows": changed, "total_rows": total}
+
+
 def country_mapping_from_blocks(blocks: pd.DataFrame) -> dict[str, str]:
     """Tier-1 country proposals → {variant_lower: canonical} apply map."""
     mapping: dict[str, str] = {}
