@@ -501,8 +501,9 @@ def oracle_sql() -> dict[str, str]:
         # fingerprint (winnowing over the engine's rolling hash),
         # embedding_neardup_lsh (approximate; pytest-checked vs the exact
         # variant), smart_match (greedy stateful 1:1 assignment),
-        # entity_clusters / source_classifier (greedy clustering / trained
-        # model), image_decode_stats, image_dedup_clusters (binary corpus),
-        # image_resize_stats / video_frame_sample (decode features),
+        # entity_clusters / source_classifier / keyword_tagger (greedy
+        # clustering / trained models), image_decode_stats,
+        # image_dedup_clusters (binary corpus), image_resize_stats /
+        # video_frame_sample / audio_feature_stats (decode features),
         # ann_topk_ivf (approximate; pytest-checked recall >= 0.9 vs exact)
     }
