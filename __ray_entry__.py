@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_counts": temporal.daily_event_counts,
         # sorts / set ops / fill
         "top_orders": relational.top_orders,
+        "top_orders_per_nation": relational.top_orders_per_nation,
         "union_filtered": relational.union_filtered,
         "coalesce_fill": relational.coalesce_fill,
         # entity clustering (disambiguation analog) + model scoring
@@ -177,6 +178,15 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "top_orders_per_nation": (
+            "WITH j AS (SELECT c_nationkey AS nation, o_orderkey, "
+            "CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents, "
+            "row_number() OVER (PARTITION BY c_nationkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rank "
+            "FROM orders JOIN customer ON o_custkey = c_custkey) "
+            "SELECT CAST(nation AS BIGINT) AS nation, CAST(rank AS BIGINT) AS rank, "
+            "o_orderkey, cents FROM j WHERE rank <= 3"
         ),
         "union_filtered": (
             "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "

@@ -675,6 +675,51 @@ def top_orders(sf_dir: str) -> rd.Dataset:
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
+def top_orders_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k (windowed rank): the k most expensive orders per
+    customer nation. Combiner pattern — every batch reduces to at most
+    (groups-in-batch × k) rows BEFORE the shuffle, then one vectorized
+    rank per hash partition; the full table never sorts globally and no
+    group materializes whole (the row_number() window analog at scale)."""
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat_of = dict(zip(cust["c_custkey"], cust["c_nationkey"]))  # small side
+    import ray as _ray
+
+    nat_ref = _ray.put(nat_of)
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    n_parts = 16
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(nat_ref)
+        out = pd.DataFrame(
+            {
+                "nation": batch["o_custkey"].map(m).astype(np.int64),
+                "o_orderkey": batch["o_orderkey"].astype(np.int64),
+                "cents": (batch["o_totalprice"] * 100).round().astype(np.int64),
+            }
+        )
+        # per-batch combine: keep k best per group (desc cents, asc key)
+        out = out.sort_values(["nation", "cents", "o_orderkey"],
+                              ascending=[True, False, True])
+        out = out.groupby("nation", as_index=False).head(k)
+        out["_part"] = (out["nation"].to_numpy() % n_parts).astype(np.int32)
+        return out
+
+    def final_topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["nation", "cents", "o_orderkey"],
+                                ascending=[True, False, True])
+        part = part.groupby("nation", as_index=False).head(k)
+        part["rank"] = part.groupby("nation").cumcount() + 1
+        return part[["nation", "rank", "o_orderkey", "cents"]].astype(np.int64)
+
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    out = hash_partition_apply(
+        ds.map_batches(partial_topk, batch_format="pandas"), n_parts, final_topk
+    ).to_pandas()
+    return out.sort_values(["nation", "rank"]).reset_index(drop=True)
+
+
 def union_filtered(sf_dir: str) -> rd.Dataset:
     """Set op: union of two filtered streams (schema-union analog,
     smart_merger.py:719; duplicates preserved like SQL UNION ALL)."""

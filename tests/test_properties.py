@@ -136,3 +136,74 @@ def test_normalize_title_idempotent(t):
 def test_normalize_doi_idempotent(t):
     once = normalize_doi(t)
     assert normalize_doi(once) == once
+
+
+# ---------------------------------------------------------------------------
+# Specialized-merger invariants (pure functions, hypothesis)
+# ---------------------------------------------------------------------------
+
+_kw = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x24F),
+    min_size=0, max_size=12,
+)
+_kw_list = st.lists(_kw, max_size=6).map("; ".join)
+
+
+@given(_kw_list, _kw_list)
+def test_merge_keywords_sorted_unique_idempotent(a, b):
+    from bibexpy_ray.functions.fieldmerge import merge_keyword_lists
+
+    out = merge_keyword_lists(a, b)
+    parts = out.split("; ") if out else []
+    # case-insensitively unique and sorted
+    uppers = [p.upper() for p in parts]
+    assert uppers == sorted(uppers)
+    assert len(set(uppers)) == len(uppers)
+    # merging the result with itself is a fixed point
+    assert merge_keyword_lists(out, out) == out
+
+
+@given(_kw_list, _kw_list)
+def test_merge_author_fields_prefix_preserved(a, b):
+    from bibexpy_ray.functions.fieldmerge import merge_author_fields
+
+    out = merge_author_fields(a, b)
+    wos = [x.strip() for x in (a or "").split(";") if x.strip()]
+    # WoS authors always survive verbatim, in order, as a prefix
+    assert [x.strip() for x in out.split(";") if x.strip()][: len(wos)] == wos
+
+
+@given(_kw, _kw)
+def test_two_source_pickers_always_pick_a_side(w, s):
+    from bibexpy_ray.functions.fieldmerge import (
+        merge_address_fields,
+        merge_reprint_author,
+        merge_source_title,
+        merge_url,
+    )
+
+    for fn in (merge_address_fields, merge_reprint_author, merge_url):
+        out = fn(w, s)
+        assert out in (w.strip(), s.strip(), "")
+    # source_title collapses whitespace before picking
+    out = merge_source_title(w, s)
+    import re as _re
+
+    assert out in (_re.sub(r"\s+", " ", w.strip()), _re.sub(r"\s+", " ", s.strip()), "")
+
+
+@given(st.lists(st.frozensets(st.integers(0, 8), max_size=4), max_size=12))
+def test_field_components_is_a_partition_refining_token_overlap(sets):
+    from bibexpy_ray.pipelines.entity import field_components
+
+    labels = field_components(list(sets))
+    assert len(labels) == len(sets)
+    # same label => connected; directly-overlapping sets always share a label
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            if sets[i] & sets[j]:
+                assert labels[i] == labels[j]
+    # labels are the min record index of their component
+    for i, l in enumerate(labels):
+        assert l <= i
+        assert labels[l] == l
