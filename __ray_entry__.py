@@ -371,7 +371,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "composite_dedup": (
             "WITH k AS (SELECT doc_id, source, n_chars, "
-            "trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9[:space:]]', '', 'g'), "
+            "trim(regexp_replace(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9[:space:]]', '', 'g'), "
             "'[[:space:]]+', ' ', 'g')) || ' ' || coalesce(lang, '') AS ckey "
             "FROM documents) "
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, "

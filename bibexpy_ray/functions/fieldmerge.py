@@ -376,14 +376,11 @@ def merge_keyword_lists(wos_keywords: Any, scopus_keywords: Any) -> str:
     accents preserving case, first occurrence wins a case-insensitive dedup
     (WoS order first), then case-insensitive alphabetical sort."""
 
-    def clean(kw: str) -> str:
-        return _ascii_fold(kw)
-
     toks = [
-        clean(kw)
+        c
         for src in (wos_keywords, scopus_keywords)
         for kw in to_str(src).split(";")
-        if clean(kw)
+        if (c := _ascii_fold(kw))
     ]
     seen: set[str] = set()
     uniq: list[str] = []

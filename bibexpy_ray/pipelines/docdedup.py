@@ -177,13 +177,17 @@ def composite_dedup(sf_dir: str) -> rd.Dataset:
             agg["db_original"],
         )
         out = agg.reset_index(drop=True)
+        # an all-null group keeps NULL (nullable Int64) like the oracle's
+        # FILTERed arg_min; the null-free common case stays plain int64
+        nch = out["n_chars"]
+        nch = nch.astype("Int64") if nch.isna().any() else nch.astype(np.int64)
         return pd.DataFrame(
             {
                 "doc_id": out["doc_id"].astype(np.int64),
                 "n_copies": out["n_copies"].astype(np.int64),
                 "db_original": out["db_original"],
                 "db": out["db"],
-                "n_chars": out["n_chars"].astype(np.int64),
+                "n_chars": nch,
             }
         )
 

@@ -38,18 +38,29 @@ def featurize(texts: list[str]) -> np.ndarray:
     return out / norms
 
 
-def train_centroids(texts: list[str], labels: list[str]) -> tuple[np.ndarray, list[str]]:
-    """Nearest-centroid model: per-label mean of normalized feature vectors."""
-    feats = featurize(texts)
-    classes = sorted(set(labels))
+def _label_centroids(
+    feats: np.ndarray, classes: list[str], member_mask
+) -> np.ndarray:
+    """Normalized per-class centroids; ``member_mask(c)`` gives each class's
+    membership over the rows (shared by the single- and multi-label models)."""
     cents = np.zeros((len(classes), DIM), dtype=np.float64)
     for k, c in enumerate(classes):
-        mask = np.array([l == c for l in labels])
+        mask = member_mask(c)
         if mask.any():
             cents[k] = feats[mask].mean(axis=0)
     norms = np.linalg.norm(cents, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    return cents / norms, classes
+    return cents / norms
+
+
+def train_centroids(texts: list[str], labels: list[str]) -> tuple[np.ndarray, list[str]]:
+    """Nearest-centroid model: per-label mean of normalized feature vectors."""
+    feats = featurize(texts)
+    classes = sorted(set(labels))
+    cents = _label_centroids(
+        feats, classes, lambda c: np.array([l == c for l in labels])
+    )
+    return cents, classes
 
 
 class CentroidScorer:
@@ -98,14 +109,10 @@ def train_multilabel(
     fit from every row carrying that label."""
     feats = featurize([preprocess_text(t) for t in texts])
     classes = sorted({l for ls in label_lists for l in ls if l})
-    cents = np.zeros((len(classes), DIM), dtype=np.float64)
-    for k, c in enumerate(classes):
-        mask = np.array([c in ls for ls in label_lists])
-        if mask.any():
-            cents[k] = feats[mask].mean(axis=0)
-    norms = np.linalg.norm(cents, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return cents / norms, classes
+    cents = _label_centroids(
+        feats, classes, lambda c: np.array([c in ls for ls in label_lists])
+    )
+    return cents, classes
 
 
 class MultiLabelScorer:

@@ -42,6 +42,23 @@ def _exact_replace(value: str, mapping: dict) -> str:
     return mapping.get(geo._ws_lower(value), value)
 
 
+def _finalize_rewrite(rewritten: rd.Dataset) -> tuple[rd.Dataset, dict]:
+    """Shared tail of the apply stages: sum the per-batch ``_changed``
+    markers into the metric, then drop the marker column."""
+    changed = int(
+        rewritten.map_batches(
+            lambda df: pd.DataFrame({"c": [int(df["_changed"].sum())]}),
+            batch_format="pandas",
+        ).sum("c")
+        or 0
+    )
+    total = rewritten.count()
+    out = rewritten.map_batches(
+        lambda df: df.drop(columns=["_changed"]), batch_format="pandas"
+    )
+    return out, {"changed_rows": changed, "total_rows": total}
+
+
 def apply_rewrite(
     ds: rd.Dataset,
     col: str,
@@ -73,19 +90,9 @@ def apply_rewrite(
         )
         return out
 
-    rewritten = ds.map_batches(apply_batch, batch_format="pandas").materialize()
-    changed = int(
-        rewritten.map_batches(
-            lambda df: pd.DataFrame({"c": [int(df["_changed"].sum())]}),
-            batch_format="pandas",
-        ).sum("c")
-        or 0
+    return _finalize_rewrite(
+        ds.map_batches(apply_batch, batch_format="pandas").materialize()
     )
-    total = rewritten.count()
-    out = rewritten.map_batches(
-        lambda df: df.drop(columns=["_changed"]), batch_format="pandas"
-    )
-    return out, {"changed_rows": changed, "total_rows": total}
 
 
 def apply_splits(
@@ -134,19 +141,9 @@ def apply_splits(
         )
         return out
 
-    rewritten = ds.map_batches(apply_batch, batch_format="pandas").materialize()
-    changed = int(
-        rewritten.map_batches(
-            lambda df: pd.DataFrame({"c": [int(df["_changed"].sum())]}),
-            batch_format="pandas",
-        ).sum("c")
-        or 0
+    return _finalize_rewrite(
+        ds.map_batches(apply_batch, batch_format="pandas").materialize()
     )
-    total = rewritten.count()
-    out = rewritten.map_batches(
-        lambda df: df.drop(columns=["_changed"]), batch_format="pandas"
-    )
-    return out, {"changed_rows": changed, "total_rows": total}
 
 
 def country_mapping_from_blocks(blocks: pd.DataFrame) -> dict[str, str]:

@@ -63,14 +63,20 @@ def token_stats_bpe(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        import re as _re
+
         texts = batch["text"].fillna("")
+        # re.ASCII: RE2's \s is ASCII-only, Python's is unicode-aware —
+        # without the flag a NBSP would tokenize differently in the oracle
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
-                "n_bpe_tokens": texts.str.count(BPE_SPLIT_PATTERN).astype(np.int64),
-                "n_ws_tokens": (
-                    texts.str.count(r"\S+").astype(np.int64)
-                ),
+                "n_bpe_tokens": texts.str.count(
+                    BPE_SPLIT_PATTERN, flags=_re.ASCII
+                ).astype(np.int64),
+                "n_ws_tokens": texts.str.count(
+                    r"\S+", flags=_re.ASCII
+                ).astype(np.int64),
             }
         )
 

@@ -123,6 +123,9 @@ def get_with_retry(
                 delay = float(retry_after) if retry_after else _retry_delay(i)
             except (TypeError, ValueError):
                 delay = _retry_delay(i)
+            # the sleep also runs on the FINAL attempt before the last
+            # response is returned — deliberate 1:1 parity with the
+            # reference's loop shape (api_utils.py:19-42)
             sleep(min(delay, RETRY_AFTER_CAP))
             last = r
             continue
@@ -178,7 +181,10 @@ def verify_candidate(
                 return False
         except (TypeError, ValueError):
             return False  # stay on the safe side: can't interpret ⇒ reject
-    if surname and c_surname and surname != c_surname:
+    # fold the candidate side: user-supplied candidate_fns return surnames
+    # verbatim, while the probe side is always lowercased by first_surname
+    cs = str(c_surname or "").strip().lower()
+    if surname and cs and surname != cs:
         return False  # exact match required (substring does not count)
     return True
 
@@ -297,16 +303,21 @@ class EnrichStage:
             batch = batch.drop_columns([self.out_col])
         else:
             current = [None] * n
+        # resolve each DISTINCT unresolved (title, authors, year) key once —
+        # duplicate unresolvable keys must not re-invoke the candidate source
+        # per row (the success-only cache can't dedup failures within a batch)
+        resolved: dict[tuple, str | None] = {}
         out: list[str | None] = []
         for cur, t, a, y in zip(current, titles, authors, years):
             if cur is not None and str(cur).strip():
                 out.append(cur)
                 continue
-            out.append(
-                resolve_id(
+            key = (t, a, y)
+            if key not in resolved:
+                resolved[key] = resolve_id(
                     t, a, y, candidate_fn=self.candidate_fn, cache=self.cache
                 )
-            )
+            out.append(resolved[key])
         return batch.append_column(self.out_col, pa.array(out, type=pa.string()))
 
 

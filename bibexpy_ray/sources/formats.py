@@ -321,19 +321,27 @@ def auto_prepare(raw_dir: str, processed_dir: str, *, log=None) -> dict:
             if log:
                 log(f"{kind} already prepared (up to date)")
             return
+        import shutil
+
+        tmp_dir = out_dir + ".tmp"
         try:
             if log:
                 log(f"preparing {kind} — {len(paths)} file(s) → {out_dir}")
-            import shutil
-
-            shutil.rmtree(out_dir, ignore_errors=True)  # drop stale shards
-            os.makedirs(out_dir, exist_ok=True)
-            reader(paths).write_parquet(out_dir)
-            with open(os.path.join(out_dir, "_PREPARED.json"), "w") as fh:
+            # convert into a TEMP dir and swap only on success: a failing
+            # reader must never destroy the last good prepared output
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            os.makedirs(tmp_dir, exist_ok=True)
+            reader(paths).write_parquet(tmp_dir)
+            with open(os.path.join(tmp_dir, "_PREPARED.json"), "w") as fh:
                 json.dump(_fingerprint(paths), fh)
+            shutil.rmtree(out_dir, ignore_errors=True)
+            os.replace(tmp_dir, out_dir)
             report[kind] = out_dir
             report["did_convert"] = True
         except Exception as e:  # noqa: BLE001 — single-source merge proceeds
+            # the previous good output (if any) is untouched on disk; like
+            # the reference, the failed kind is only reported in `skipped`
+            shutil.rmtree(tmp_dir, ignore_errors=True)
             report["skipped"].append(f"{kind}: {e}")
 
     if csv_files:

@@ -250,3 +250,57 @@ def test_enrich_wrapper_creates_column(ray_session):
     )
     out = enrich_missing_ids(ds, _offline_factory, concurrency=1).to_pandas()
     assert out["doi"].tolist() == ["10.9/kappa"]
+
+
+def test_verify_candidate_folds_candidate_surname_case():
+    # candidate sources return surnames verbatim; the probe side is lowered
+    assert verify_candidate(
+        "T same title here", 2020, "Zhang", "T same title here", 2020, "zhang"
+    )
+    assert not verify_candidate(
+        "T same title here", 2020, "Li", "T same title here", 2020, "zhang"
+    )
+
+
+def test_enrich_stage_resolves_distinct_keys_once(ray_session):
+    """Duplicate UNRESOLVABLE keys in one batch must invoke the candidate
+    source once, not once per row (the success-only cache can't dedup them)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "title": ["same title here"] * 6 + ["other title here"],
+            "authors": [None] * 7,
+            "year": [None] * 7,
+        }
+    )
+    from bibexpy_ray.sources.enrich import EnrichStage, stub_candidate_factory
+
+    class CountingStage(EnrichStage):
+        def __init__(self):
+            calls = []
+
+            def factory():
+                def fn(title, year, surname):
+                    calls.append(title)
+                    return []  # unresolvable: nothing ever verifies
+
+                return fn
+
+            super().__init__(factory)
+            self._calls = calls
+
+        def __call__(self, batch):
+            out = super().__call__(batch)
+            return out.append_column(
+                "n_calls", pa.array([len(self._calls)] * len(out), type=pa.int64())
+            )
+
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(CountingStage, batch_format="pyarrow", batch_size=7, concurrency=1)
+        .to_pandas()
+    )
+    assert out["doi"].isna().all()
+    assert out["n_calls"].max() == 2  # one per DISTINCT key, not 7

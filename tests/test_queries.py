@@ -267,3 +267,41 @@ def test_multilabel_training_recovers_own_labels():
         pd.DataFrame({"doc_id": [1, 2], "text": ["apple cherry", "echo foxtrot"]})
     )
     assert out["pred_labels"].tolist() == ["fruit", "nato"]
+
+
+def test_composite_dedup_null_text_and_null_nchars(tmp_path, entrymod):
+    """Nulls must not crash the reducer and must match the oracle: null text
+    keys as '' (coalesce), an all-null n_chars group yields NULL."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [None, "", "real text"],
+            "lang": ["en", "en", "en"],
+            "source": ["wos", "scopus", "wos"],
+            "n_chars": pa.array([None, None, 9], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (
+        _to_pandas(entrymod.queries()["composite_dedup"](str(tmp_path)))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # null text and blank text share the '' + lang key (1 group of 2)
+    assert out["doc_id"].tolist() == [1, 3]
+    m = out.set_index("doc_id")
+    assert m.loc[1, "n_copies"] == 2 and m.loc[1, "db"] == "BIBEXPY"
+    assert pd.isna(m.loc[1, "n_chars"])  # all-null group stays NULL
+    assert m.loc[3, "n_chars"] == 9
+    # the oracle groups identically
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(entrymod.oracle_sql()["composite_dedup"]).df()
+    assert sorted(oracle["doc_id"]) == [1, 3]
+    assert pd.isna(oracle.set_index("doc_id").loc[1, "n_chars"])
