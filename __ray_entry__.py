@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": relational.brand_revenue,
         # windowed/sessionized aggregate
         "sessionize": relational.sessionize,
+        "value_quantiles": relational.value_quantiles,
+        "rolling_daily_value": relational.rolling_daily_value,
         # text analysis
         "token_stats": textstats.token_stats,
         "token_stats_bpe": textstats.token_stats_bpe,
@@ -340,6 +342,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
             "FROM events) t GROUP BY user_id"
+        ),
+        "value_quantiles": (
+            # percentile_disc over integer cents per event type; DuckDB needs
+            # a CONSTANT quantile parameter, so one UNION ALL arm per q
+            "WITH v AS (SELECT event_type, "
+            "CAST(round(value*100, 0) AS BIGINT) AS cents FROM events) "
+            + " UNION ALL ".join(
+                "SELECT event_type, CAST({q} AS BIGINT) AS q, "
+                "CAST(percentile_disc({f}) WITHIN GROUP (ORDER BY cents) AS BIGINT) "
+                "AS cents FROM v GROUP BY event_type".format(q=q, f=q / 100.0)
+                for q in (25, 50, 75, 90)
+            )
+        ),
+        "rolling_daily_value": (
+            "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS day_cents "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT event_type, day, day_cents, "
+            "CAST(SUM(day_cents) OVER (PARTITION BY event_type ORDER BY day "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents, "
+            "CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_days "
+            "FROM d"
         ),
         "token_stats": (
             "SELECT doc_id, "

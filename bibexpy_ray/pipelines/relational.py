@@ -675,6 +675,84 @@ def top_orders(sf_dir: str) -> rd.Dataset:
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
+def value_quantiles(sf_dir: str, qs: tuple = (25, 50, 75, 90)) -> pd.DataFrame:
+    """Exact per-group quantiles at 100-TB scale WITHOUT a global sort: event
+    values are 2-decimal, so a per-(group, cents) counting histogram is a
+    lossless sufficient statistic. Per-batch partial histograms combine in a
+    small groupby, then each group's quantile reads off the cumulative count
+    (percentile_disc semantics: the first value whose cumulative share
+    reaches q). Shuffle volume = distinct (type, cents) pairs, not rows."""
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def partial_hist(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = (batch["value"] * 100).round().astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": batch["event_type"], "cents": cents})
+            .groupby(["event_type", "cents"], as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "n"})
+
+    hist = (
+        ds.map_batches(partial_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "cents"], as_index=False)["n"]
+        .sum()
+        .sort_values(["event_type", "cents"])
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["cents"].to_numpy()
+        for q in qs:
+            # percentile_disc: smallest value with cum >= ceil(q/100 * total)
+            target = -(-q * total // 100)
+            idx = int(np.searchsorted(cum, target))
+            rows.append({"event_type": et, "q": int(q), "cents": int(vals[idx])})
+    return (
+        pd.DataFrame(rows)
+        .astype({"q": np.int64, "cents": np.int64})
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+
+
+def rolling_daily_value(sf_dir: str, window: int = 7) -> pd.DataFrame:
+    """Sliding-window aggregate: per event type, the trailing-7-row window
+    over its daily value sums (integer cents — hash-stable). The daily
+    pre-aggregation is the heavy distributed step (combiner pattern); the
+    rolling pass runs per type over at most #days rows."""
+    ds = read_table(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def daily(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "day": batch["ts"].dt.strftime("%Y-%m-%d"),
+                "event_type": batch["event_type"],
+                "cents": (batch["value"] * 100).round().astype(np.int64),
+            }
+        )
+        return d.groupby(["event_type", "day"], as_index=False)["cents"].sum()
+
+    per_day = (
+        ds.map_batches(daily, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["cents"]
+        .sum()
+        .sort_values(["event_type", "day"])
+    )
+    out = per_day.rename(columns={"cents": "day_cents"}).reset_index(drop=True)
+    roll = out.groupby("event_type")["day_cents"]
+    out["win_cents"] = roll.transform(
+        lambda s: s.rolling(window, min_periods=1).sum()
+    ).astype(np.int64)
+    out["win_days"] = roll.transform(
+        lambda s: s.rolling(window, min_periods=1).count()
+    ).astype(np.int64)
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
 def top_orders_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Per-group top-k (windowed rank): the k most expensive orders per
     customer nation. Combiner pattern — every batch reduces to at most
