@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed/sessionized aggregate
         "sessionize": relational.sessionize,
         "value_quantiles": relational.value_quantiles,
+        "distinct_users": relational.distinct_users,
+        "hll_distinct_users": relational.hll_distinct_users,
+        "customers_without_orders": relational.customers_without_urgent_orders,
         "rolling_daily_value": relational.rolling_daily_value,
         # text analysis
         "token_stats": textstats.token_stats,
@@ -342,6 +345,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
             "FROM events) t GROUP BY user_id"
+        ),
+        "distinct_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"
         ),
         "value_quantiles": (
             # percentile_disc over integer cents per event type; DuckDB needs

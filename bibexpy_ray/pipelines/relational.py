@@ -675,6 +675,136 @@ def top_orders(sf_dir: str) -> rd.Dataset:
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
+def distinct_users(sf_dir: str, n_parts: int = 16) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT) at scale: per-batch local dedupe (combiner) →
+    hash-partition on (event_type, user hash) → per-partition dedupe + count
+    → small final sum. Only already-deduped (type, user_id) pairs shuffle."""
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_dedupe(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.drop_duplicates()
+        h = out["user_id"].to_numpy(dtype=np.uint64)
+        out = out.assign(
+            _part=((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(60)).astype(
+                np.int32
+            )
+            % n_parts
+        )
+        return out
+
+    def count_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.drop_duplicates().groupby("event_type", as_index=False).size()
+        return g.rename(columns={"size": "n_users"})
+
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    out = (
+        hash_partition_apply(
+            ds.map_batches(local_dedupe, batch_format="pandas"), n_parts, count_part
+        )
+        .to_pandas()
+        .groupby("event_type", as_index=False)["n_users"]
+        .sum()
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# HyperLogLog: the classic cardinality sketch (Flajolet et al. 2007, public
+# algorithm) — registers merge by elementwise max, so per-batch partials
+# combine associatively: the canonical distributed approximate-distinct.
+HLL_P = 12  # 4096 registers → ~1.6% standard error
+
+
+def _hll_registers(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    m = 1 << p
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p) | np.uint64((1 << p) - 1)  # pad tail with 1s
+    # rank = leading zeros of the remaining bits + 1, capped by width
+    lz = np.zeros(len(hashes), dtype=np.int64)
+    bit = np.uint64(1) << np.uint64(63)
+    cur = rest.copy()
+    # vectorized leading-zero count via float log2 would lose precision at
+    # 64-bit; do it in 8-bit steps (at most 8 passes, all vectorized)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (bit >> np.uint64(shift - 1))
+        lz += np.where(mask, shift, 0)
+        cur = np.where(mask, cur << np.uint64(shift), cur)
+    regs = np.zeros(m, dtype=np.int8)
+    np.maximum.at(regs, idx, np.minimum(lz + 1, 64 - p).astype(np.int8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return float(est)
+
+
+def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type via per-batch HLL register
+    partials merged by elementwise max — constant memory per group no matter
+    the cardinality (the sketch path for when exact dedupe is too wide)."""
+    from bibexpy_ray.functions import hashing
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        h_all = hashing.splitmix64(batch["user_id"].to_numpy(dtype=np.uint64))
+        for et, idxs in batch.groupby("event_type").indices.items():
+            rows.append(
+                {"event_type": et, "regs": _hll_registers(h_all[idxs]).tobytes()}
+            )
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for et, g in parts.groupby("event_type"):
+        regs = np.zeros(1 << HLL_P, dtype=np.int8)
+        for b in g["regs"]:
+            regs = np.maximum(regs, np.frombuffer(b, dtype=np.int8))
+        rows.append({"event_type": et, "n_users_est": int(round(hll_estimate(regs)))})
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+def customers_without_urgent_orders(sf_dir: str) -> rd.Dataset:
+    """Broadcast anti-join: the distinct urgent-order customer key set ships
+    once via ray.put; customers stream through a vectorized sorted-probe
+    filter. The small side is the DISTINCT keys of a filtered fact-table FK
+    — orders of magnitude under the fact rows (prune at the read: only the
+    two needed columns leave storage)."""
+    import ray as _ray
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch.loc[batch["o_orderpriority"] == "1-URGENT", ["o_custkey"]]
+        return k.drop_duplicates()
+
+    keys = (
+        orders.map_batches(urgent_keys, batch_format="pandas")
+        .to_pandas()["o_custkey"]
+        .unique()
+    )
+    keys_ref = _ray.put(np.sort(keys))
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(keys_ref)
+        probe = batch["c_custkey"].to_numpy()
+        pos = np.searchsorted(ks, probe)
+        pos = np.minimum(pos, len(ks) - 1)
+        hit = ks[pos] == probe
+        return batch[~hit]
+
+    return cust.map_batches(anti, batch_format="pandas")
+
+
 def value_quantiles(sf_dir: str, qs: tuple = (25, 50, 75, 90)) -> pd.DataFrame:
     """Exact per-group quantiles at 100-TB scale WITHOUT a global sort: event
     values are 2-decimal, so a per-(group, cents) counting histogram is a

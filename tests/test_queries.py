@@ -305,3 +305,32 @@ def test_composite_dedup_null_text_and_null_nchars(tmp_path, entrymod):
     oracle = con.execute(entrymod.oracle_sql()["composite_dedup"]).df()
     assert sorted(oracle["doc_id"]) == [1, 3]
     assert pd.isna(oracle.set_index("doc_id").loc[1, "n_chars"])
+
+
+def test_hll_estimate_within_tolerance(entrymod):
+    """The HLL sketch estimate must land within 5% of the exact distinct
+    count per event type (4096 registers → ~1.6% standard error)."""
+    exact = _to_pandas(entrymod.queries()["distinct_users"](SF_DIR)).set_index(
+        "event_type"
+    )
+    est = _to_pandas(entrymod.queries()["hll_distinct_users"](SF_DIR)).set_index(
+        "event_type"
+    )
+    assert sorted(exact.index) == sorted(est.index)
+    for et in exact.index:
+        e, a = int(exact.loc[et, "n_users"]), int(est.loc[et, "n_users_est"])
+        assert abs(a - e) <= max(2, int(0.05 * e)), (et, e, a)
+
+
+def test_hll_registers_merge_associative():
+    import numpy as np
+
+    from bibexpy_ray.functions import hashing
+    from bibexpy_ray.pipelines.relational import _hll_registers, hll_estimate
+
+    h = hashing.splitmix64(np.arange(10_000, dtype=np.uint64))
+    whole = _hll_registers(h)
+    merged = np.maximum(_hll_registers(h[:3000]), _hll_registers(h[3000:]))
+    assert (whole == merged).all()  # partials merge losslessly by max
+    est = hll_estimate(whole)
+    assert abs(est - 10_000) / 10_000 < 0.05
