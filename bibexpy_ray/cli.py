@@ -69,6 +69,18 @@ def cmd_convert(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_prepare(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray
+
+    from bibexpy_ray.sources.formats import auto_prepare
+
+    report = auto_prepare(args.raw, args.processed, log=lambda m: print(f"# {m}"))
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0 if not report["skipped"] else 1
+
+
 def cmd_report(args: argparse.Namespace) -> int:
     # driver-side control plane — no Ray session needed
     from bibexpy_ray.state import audit
@@ -104,6 +116,14 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["tagged", "bibtex", "ris", "parquet", "csv", "tsv"])
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_convert)
+
+    pr = sub.add_parser(
+        "prepare", help="auto_prepare: raw CSV/tagged -> per-kind parquet, skip-if-fresh"
+    )
+    pr.add_argument("--raw", required=True, help="directory of raw exports")
+    pr.add_argument("--processed", required=True, help="output directory")
+    pr.add_argument("--num-cpus", type=int, default=None)
+    pr.set_defaults(fn=cmd_prepare)
 
     r = sub.add_parser("report", help="render a run dir's Markdown ops report")
     r.add_argument("--run-dir", required=True)

@@ -33,3 +33,31 @@ def test_cli_synth_and_dedup(tmp_path):
     assert result["metrics"]["clusters"] == 20  # 10 cohorts x 2 clusters
     assert os.path.exists(os.path.join(run_dir, "manifest.json"))
     assert os.path.exists(os.path.join(run_dir, "exports", "clusters.tsv"))
+
+
+def test_cli_prepare_subcommand(tmp_path):
+    """`prepare` converts raw exports then skips when fresh (exit 0 both
+    times); the CLI owns its own Ray session (subprocess)."""
+    import json
+    import pandas as pd
+
+    from bibexpy_ray.sources.tagged_text import format_records
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "w.txt").write_text(
+        format_records(pd.DataFrame({"TI": ["One"], "PY": ["2020"]}))
+    )
+    cmd = [
+        sys.executable, "-m", "bibexpy_ray.cli", "prepare",
+        "--raw", str(raw), "--processed", str(tmp_path / "processed"),
+        "--num-cpus", "2",
+    ]
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    rep = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep["did_convert"] is True and rep["wos"]
+    out2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    rep2 = json.loads([l for l in out2.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep2["did_convert"] is False and rep2["wos"]
