@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed/sessionized aggregate
         "sessionize": relational.sessionize,
         "value_quantiles": relational.value_quantiles,
+        "events_pivot": relational.events_pivot,
         "distinct_users": relational.distinct_users,
         "hll_distinct_users": relational.hll_distinct_users,
         "customers_without_orders": relational.customers_without_urgent_orders,
@@ -345,6 +346,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
             "FROM events) t GROUP BY user_id"
+        ),
+        "events_pivot": (
+            # conditional aggregation over the discovered type domain (the
+            # engine discovers it at runtime; the synthetic domain is fixed)
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            + ", ".join(
+                f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events GROUP BY 1"
         ),
         "distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "

@@ -30,7 +30,10 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     import ray
     import ray.data as rd
 
-    from bibexpy_ray.config import DedupConfig
+    from bibexpy_ray.config import DedupConfig, tune_data_context
+
+    # the corpus carries an opaque bytes column; this session is CLI-owned
+    tune_data_context(payload="binary")
     from bibexpy_ray.pipelines.dedup_images import FEATURE_INPUT_COLS, dedup_images
     from bibexpy_ray.pipelines.export import save_run
 

@@ -81,3 +81,22 @@ class DedupConfig:
 
 
 DEFAULT_CONFIG = DedupConfig()
+
+
+def tune_data_context(payload: str = "records") -> None:
+    """Size Ray Data block targets to the payload class (call from OWNED Ray
+    sessions only — CLI entry points and bench, never from library functions,
+    which must not mutate a session they don't own).
+
+    - "records": leave Ray's default block target (128 MiB) — right for the
+      narrow id/signature tables every shuffle here moves.
+    - "binary": shrink the block target so a batch x actor-pool concurrency
+      of image/audio/video payload rows fits in a worker heap; large opaque
+      payload columns make the default 128 MiB block ~100k+ rows, and a few
+      of those pinned per actor is the OOM path at 100 TB.
+    """
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    if payload == "binary":
+        ctx.target_max_block_size = 32 * 1024 * 1024

@@ -675,6 +675,41 @@ def top_orders(sf_dir: str) -> rd.Dataset:
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
+def events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot / crosstab: one row per day, one count column per event type
+    (conditional aggregation). The column set is the SMALL dimension's
+    domain, discovered in a cheap first pass; counts combine per batch
+    (day × type partials) so only the tiny pivot table leaves the workers."""
+    ds = read_table(sf_dir, "events", ["ts", "event_type"])
+    types = sorted(
+        ds.select_columns(["event_type"]).unique("event_type")
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "day": batch["ts"].dt.strftime("%Y-%m-%d"),
+                "event_type": batch["event_type"],
+            }
+        )
+        g = d.groupby(["day", "event_type"]).size().unstack(fill_value=0)
+        g = g.reindex(columns=types, fill_value=0)
+        g.columns = [f"n_{t}" for t in types]
+        return g.reset_index()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("day", as_index=False)
+        .sum()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def distinct_users(sf_dir: str, n_parts: int = 16) -> pd.DataFrame:
     """Exact COUNT(DISTINCT) at scale: per-batch local dedupe (combiner) →
     hash-partition on (event_type, user hash) → per-partition dedupe + count
