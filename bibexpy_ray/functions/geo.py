@@ -331,12 +331,30 @@ def _ws_lower(s: str) -> str:
     return re.sub(r"\s+", " ", str(s or "").strip()).lower()
 
 
+#: per-worker memo of normalized rewrite maps. These functions are called
+#: once PER ROW by apply_rewrite with the SAME broadcast dict object
+#: (ray.get returns the plasma-cached object, stable id per worker) —
+#: renormalizing a 10k-entry map per row would be O(rows × mapping).
+_NORM_MAP_MEMO: dict[int, tuple[int, dict]] = {}
+
+
+def _norm_map_of(mapping: dict) -> dict:
+    key = id(mapping)
+    hit = _NORM_MAP_MEMO.get(key)
+    if hit is not None and hit[0] == len(mapping):
+        return hit[1]
+    norm = {_ws_lower(k): v for k, v in mapping.items()}
+    _NORM_MAP_MEMO.clear()  # one live mapping per stage; don't grow unbounded
+    _NORM_MAP_MEMO[key] = (len(mapping), norm)
+    return norm
+
+
 def replace_affiliation_in_c1(value: str, variant_to_canonical: dict) -> str:
     """Whitespace/case-tolerant EXACT-component replacement: first the whole
     address, then each comma sub-component (never substring matching)."""
     if not str(value or "").strip():
         return value
-    norm_map = {_ws_lower(k): v for k, v in variant_to_canonical.items()}
+    norm_map = _norm_map_of(variant_to_canonical)
     out: list[str] = []
     for chunk in _split_semicolons(value, strip_brackets=False):
         prefix, addr = _addr_of(chunk)
@@ -360,7 +378,7 @@ def replace_org_in_c1(value: str, variant_to_canonical: dict) -> str:
     preserving the author bracket (org-rollup apply)."""
     if not str(value or "").strip():
         return value
-    norm_map = {_ws_lower(k): v for k, v in variant_to_canonical.items()}
+    norm_map = _norm_map_of(variant_to_canonical)
     out: list[str] = []
     for chunk in _split_semicolons(value, strip_brackets=False):
         prefix, addr = _addr_of(chunk)

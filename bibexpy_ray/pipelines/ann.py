@@ -145,12 +145,20 @@ def ivf_build(
     write the corpus PARTITIONED BY LIST (hive layout, one directory per
     centroid). Queries then read only their probed partitions — candidate
     pruning happens at the read, which is the entire point of IVF at 100 TB
-    (the LSH variant prunes pairs; IVF prunes I/O). Cached per (sf, params);
-    rebuild is idempotent (same seed ⇒ same centroids ⇒ same layout)."""
+    (the LSH variant prunes pairs; IVF prunes I/O). Cached per (sf, params,
+    source mtime); built in a temp dir and atomically renamed so a crash
+    mid-build never leaves a half-populated index that a rebuild would
+    append duplicates into."""
     import os
+    import shutil
 
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = int(os.stat(src).st_mtime)
+    except OSError:
+        mtime = 0
     sf = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/bibexpy_ivf/{sf}_c{n_centroids}_s{seed}"
+    root = f"/tmp/bibexpy_ivf/{sf}_c{n_centroids}_s{seed}_m{mtime}"
     cent_path = f"{root}/centroids.npy"
     if os.path.exists(cent_path):
         return root, np.load(cent_path)
@@ -171,10 +179,14 @@ def ivf_build(
         out["list_id"] = lid
         return out
 
+    tmp = root + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     ds.map_batches(assign, batch_format="pandas").write_parquet(
-        root, partition_cols=["list_part"]
+        tmp, partition_cols=["list_part"]
     )
-    np.save(cent_path, centroids)
+    np.save(os.path.join(tmp, "centroids.npy"), centroids)
+    shutil.rmtree(root, ignore_errors=True)
+    os.replace(tmp, root)
     return root, centroids
 
 

@@ -363,7 +363,12 @@ class DedupResult:
                 [m for m in self.labels._members.to_pylist() if m not in survivors],
                 dtype=object,
             )
-            luids = np.sort(text_hash_u64(list(losers))) if len(losers) else None
+            if len(losers):
+                lh = text_hash_u64(list(losers))
+                order = np.argsort(lh, kind="stable")
+                luids, lnames = lh[order], losers[order]
+            else:
+                luids = lnames = None
 
             def keep(batch: pd.DataFrame) -> pd.DataFrame:
                 if luids is None:
@@ -371,7 +376,13 @@ class DedupResult:
                 ids = batch["image_id"].to_numpy(dtype=object)
                 h = text_hash_u64(list(ids))
                 pos = np.minimum(np.searchsorted(luids, h), len(luids) - 1)
-                return batch[luids[pos] != h]
+                hit = luids[pos] == h
+                # exact-string guard on hash hits: a 64-bit collision with a
+                # loser's uid must not silently delete an unrelated record
+                # (same invariant ClusterLabels.attach enforces)
+                if hit.any():
+                    hit[hit] = lnames[pos[hit]] == ids[hit]
+                return batch[~hit]
 
             return self.labels.attach(
                 ds.map_batches(keep, batch_format="pandas")

@@ -323,8 +323,12 @@ def _dedupe_int_pairs(
 
     from bibexpy_ray.stages.shuffle import hash_partition_apply
 
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype=np.int64) for c in ("id_a", "id_b", *agg)}
+    )
     return hash_partition_apply(
-        pairs.map_batches(add_part, batch_format="pyarrow"), n_parts, dedupe
+        pairs.map_batches(add_part, batch_format="pyarrow"), n_parts, dedupe,
+        empty_like=empty,
     )
 
 

@@ -94,7 +94,7 @@ def asof_join_cogroup(sf_dir: str, n_parts: int = 64) -> pd.DataFrame:
     vectorized merge pass per partition.
 
     Per partition: concatenate build (orders) and probe (events) rows, lexsort
-    by (key, ts, is_probe) so at equal (key, ts) build rows precede probes,
+    by (key, ts, is_probe, payload) so at equal (key, ts) build rows precede probes,
     take a running forward-max of build row positions, and invalidate carries
     across key boundaries by checking the carried position falls inside the
     current key's segment. Ties on ts resolve to the max ``o_orderkey``
@@ -152,9 +152,11 @@ def asof_join_cogroup(sf_dir: str, n_parts: int = 64) -> pd.DataFrame:
         ts = part["ts_us"].to_numpy(dtype=np.int64)
         payload = part["payload"].to_numpy(dtype=np.int64)
         is_probe = part["is_probe"].to_numpy(dtype=bool)
-        # at equal (key, ts): builds first (probe matches at-or-before), and
-        # among builds the max orderkey last — forward-max picks it
-        order = np.lexsort((is_probe, payload, ts, key))
+        # at equal (key, ts): builds first (is_probe before payload in the
+        # lexsort, so a probe at exactly a build's ts matches it —
+        # at-or-before semantics), and among equal-ts builds the max
+        # orderkey sorts last so the forward-max picks it
+        order = np.lexsort((payload, is_probe, ts, key))
         key, ts, payload, is_probe = (
             key[order],
             ts[order],

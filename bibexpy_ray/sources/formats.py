@@ -41,10 +41,12 @@ _BIB_FIELDS = [
 
 
 def _latex_escape(value: str) -> str:
-    s = str(value)
-    s = s.replace("\\", "\\textbackslash{}")
+    # backslash goes through a brace-free sentinel: replacing it directly
+    # with \textbackslash{} would let the brace pass below mangle it
+    s = str(value).replace("\\", "\x00")
     for ch in "&%$#_{}":
         s = s.replace(ch, f"\\{ch}")
+    s = s.replace("\x00", "\\textbackslash{}")
     return s.replace("~", "\\textasciitilde{}").replace("^", "\\textasciicircum{}")
 
 
@@ -67,10 +69,18 @@ def _entry_type(dt: str) -> str:
 def format_bibtex(batch: pd.DataFrame, used_keys: set[str] | None = None) -> str:
     """Serialize one batch of records as BibTeX entries.
 
-    Cite keys are unique WITHIN the batch plus the optional carried-in set;
-    across shards, uniqueness comes from the deterministic per-shard suffix
-    (shard hash) being embedded in colliding keys.
+    Cite-key uniqueness: the reference dedups through an in-process
+    ``used_keys`` set (bibtex_writer.py:63), which cannot distribute across
+    shard writers. Here EVERY key carries a deterministic 6-hex suffix
+    hashed from the record's identity fields — shard-independent, so two
+    different records sharing an author/year/title slug diverge no matter
+    which shards they land in, while true duplicate records keep identical
+    keys. The ``used_keys`` ordinal fallback only catches identity-hash
+    ties within a batch (documented divergence from the reference's
+    single-process ``_1`` ordinals, which are shard-order-dependent).
     """
+    from bibexpy_ray.functions import hashing
+
     used = used_keys if used_keys is not None else set()
     out: list[str] = []
     for _, row in batch.iterrows():
@@ -79,7 +89,11 @@ def format_bibtex(batch: pd.DataFrame, used_keys: set[str] | None = None) -> str
         ti = str(row.get("TI", "") or "")
         first = re.split(r";|,|\band\b", au)[0].strip()
         first = _slug(first.split()[0] if first else "Anon", 20)
-        key = f"{first}{py}{_slug(ti, 12)}"
+        ident = "\x1f".join(
+            str(row.get(c, "") or "") for c in ("DI", "UT", "TI", "PY", "AU")
+        )
+        h = int(hashing.text_hash_u64([ident])[0])
+        key = f"{first}{py}{_slug(ti, 12)}-{h & 0xFFFFFF:06x}"
         base, n = key, 1
         while key in used:
             key = f"{base}_{n}"
@@ -163,7 +177,12 @@ def _write_sharded(ds: rd.Dataset, out_dir: str, formatter, ext: str) -> str:
 
         name = f"shard-{hash_bytes_u64(text.encode()):016x}-{len(batch)}{ext}"
         path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
+        # CONTENT-ADDRESSED shards: byte-identical batches coalesce into one
+        # file by design (reruns stay idempotent — no duplicate shards pile
+        # up); the manifest still reports each batch's rows. The tmp name is
+        # pid-unique so two concurrent writers of the same content never
+        # interleave into one tmp file; os.replace is atomic either way.
+        tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, path)

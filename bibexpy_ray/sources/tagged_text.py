@@ -95,7 +95,8 @@ def write_tagged_text(ds: rd.Dataset, out_dir: str, columns: list[str] | None = 
 
         name = f"shard-{hash_bytes_u64(text.encode()):016x}-{len(batch)}.txt"
         path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
+        # content-addressed shard; pid-unique tmp (see formats._write_sharded)
+        tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, path)

@@ -340,8 +340,16 @@ def dedupe_pairs_manual(pairs_ds, num_partitions: int):
     # separate tagging map pass, no extra object-store copy of the pair
     # stream; rows_per_block re-splits the few large reduce outputs so the
     # downstream verify task-pool still sees enough blocks for every CPU
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype=np.uint64),
+            "id_b": pd.Series([], dtype=np.uint64),
+            "dropped": pd.Series([], dtype=np.int64),
+        }
+    )
     return hash_partition_apply(
-        pairs_ds, num_partitions, dedupe, key_fn=pair_key, rows_per_block=16384
+        pairs_ds, num_partitions, dedupe, key_fn=pair_key,
+        rows_per_block=16384, empty_like=empty,
     )
 
 

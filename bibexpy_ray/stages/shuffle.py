@@ -37,6 +37,7 @@ def hash_partition_apply(
     part_col: str = "_part",
     key_fn: Callable[[pa.Table], "np.ndarray"] | None = None,
     rows_per_block: int | None = None,
+    empty_like: pd.DataFrame | None = None,
 ) -> rd.Dataset:
     """Apply ``fn`` once per hash partition (``part_col`` in [0, P)).
 
@@ -54,11 +55,36 @@ def hash_partition_apply(
     most that many rows (dynamic returns) — use when P is sized for shuffle
     economy (few, large partitions) but a downstream task-pool map needs more
     blocks than P to keep all CPUs busy.
+
+    ``empty_like`` (optional) is a ZERO-ROW exemplar of fn's output schema.
+    Degenerate inputs (zero blocks, or only schema-less zero-row blocks from
+    upstream map_batches whose UDF never ran) then still produce a dataset
+    with the right columns instead of leaking pre-shuffle columns — pass it
+    whenever the result feeds a union / column selection.
     """
     P = int(num_partitions)
     blocks = ds.to_arrow_refs()
+    if not blocks and empty_like is not None:
+        return rd.from_pandas(empty_like)
     if not blocks:
-        return ds
+        # a zero-block input must still yield fn's OUTPUT schema (returning
+        # the input dataset would leak pre-shuffle columns downstream): run
+        # fn once on an empty schema-correct frame (every reducer here is
+        # empty-safe — the reduce tasks call fn on empty partitions too)
+        schema = ds.schema(fetch_if_missing=True)
+        if schema is None:
+            return ds
+        try:
+            empty = pa.schema(
+                list(zip(schema.names, schema.types))
+            ).empty_table().to_pandas()
+        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+            # pandas-backed schema (numpy dtypes): object-dtype empties are
+            # fine for the vectorized reducers used here
+            empty = pd.DataFrame({n: pd.Series([], dtype=object) for n in schema.names})
+        if part_col in empty.columns:
+            empty = empty.drop(columns=[part_col])
+        return rd.from_pandas(fn(empty))
     # ship the callables ONCE via the object store; the remote functions are
     # module-level (exported to each worker once per session), so a pipeline
     # that runs several shuffles pays no per-invocation function-export cost
@@ -66,6 +92,7 @@ def hash_partition_apply(
     # fixed driver/GCS time per shuffle, flat across data sizes)
     fn_ref = ray.put(fn)
     key_ref = ray.put(key_fn)
+    empty_ref = ray.put(empty_like)
     # coalesce fragmented upstream blocks into a bounded number of split
     # tasks: the shuffle creates (#splits x P) objects, and B tracks upstream
     # read/map parallelism — at high CPU counts thousands of tiny map-side
@@ -84,13 +111,13 @@ def hash_partition_apply(
     ]
     if rows_per_block is None:
         reduced = [
-            _reduce_task.remote(fn_ref, part_col, *[s[i] for s in splits])
+            _reduce_task.remote(fn_ref, part_col, empty_ref, *[s[i] for s in splits])
             for i in range(P)
         ]
         return rd.from_arrow_refs(reduced)
     gens = [
         _reduce_split_task.remote(
-            fn_ref, part_col, rows_per_block, *[s[i] for s in splits]
+            fn_ref, part_col, rows_per_block, empty_ref, *[s[i] for s in splits]
         )
         for i in range(P)
     ]
@@ -135,7 +162,7 @@ def _split_task(P, part_col, key_fn, *tbls):
     )
 
 
-def _reduce_impl(fn, part_col, parts) -> pa.Table:
+def _reduce_impl(fn, part_col, parts, empty_like=None) -> pa.Table:
     non_empty = [p for p in parts if p.num_rows]
     tbl = (
         pa.concat_tables(non_empty, promote_options="default")
@@ -145,7 +172,10 @@ def _reduce_impl(fn, part_col, parts) -> pa.Table:
         else max(parts, key=lambda p: p.num_columns)
     )
     if tbl.num_columns == 0:
-        return tbl  # all inputs were schema-less empties; nothing to do
+        # all inputs were schema-less empties (upstream UDF never ran)
+        if empty_like is not None:
+            return pa.Table.from_pandas(empty_like, preserve_index=False)
+        return tbl
     df = tbl.to_pandas()
     if part_col in df.columns:
         df = df.drop(columns=[part_col])
@@ -154,13 +184,13 @@ def _reduce_impl(fn, part_col, parts) -> pa.Table:
 
 
 @ray.remote
-def _reduce_task(fn, part_col, *parts: pa.Table) -> pa.Table:
-    return _reduce_impl(fn, part_col, parts)
+def _reduce_task(fn, part_col, empty_like, *parts: pa.Table) -> pa.Table:
+    return _reduce_impl(fn, part_col, parts, empty_like)
 
 
 @ray.remote(num_returns="dynamic")
-def _reduce_split_task(fn, part_col, rows_per_block, *parts: pa.Table):
-    out = _reduce_impl(fn, part_col, parts)
+def _reduce_split_task(fn, part_col, rows_per_block, empty_like, *parts: pa.Table):
+    out = _reduce_impl(fn, part_col, parts, empty_like)
     if out.num_rows <= rows_per_block:
         yield out
         return

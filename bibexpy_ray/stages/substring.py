@@ -17,8 +17,12 @@ token ``t``:
      suffix STARTS WITH the short's first-occurrence suffix — so every
      container of a pattern lies in one contiguous range of the sorted
      suffix list (found by two bisects)
-  3. scan the range (capped at ``RANGE_CAP`` per probe, dropped counts
-     reported — no silent truncation) and confirm with an exact ``in`` check
+  3. scan the range (capped at ``RANGE_CAP`` per probe) and confirm with an
+     exact ``in`` check. Truncated probes stamp a ``dropped`` count onto
+     their emitted pairs — an APPROXIMATE upper bound (the unscanned tail
+     may contain non-containers), and a probe that truncates before finding
+     any pair has no row to carry its count, so the metric under-reports
+     that case; it signals *that* truncation happened, not exactly how much
 
 This replaces a per-bucket generalized suffix array (prefix-doubling build,
 O(n log² n) on megabytes of concatenated text) with one C-speed sort of the
@@ -372,4 +376,5 @@ def containment_candidates(
         features.map_batches(emit_keys, batch_format="pyarrow"),
         n_parts,
         per_part,
+        empty_like=containment_pairs_bucket([], [], "", cfg),
     )

@@ -36,23 +36,44 @@ RECORDS = pd.DataFrame(
 
 
 def test_bibtex_format_escaping_and_keys():
+    import re as _re
+
     text = format_bibtex(RECORDS)
-    assert "@article{Smith2020DeepLearnedT," in text
-    assert "@inproceedings{Roe2021Secondpaper," in text
+    # readable base + deterministic 6-hex identity suffix (shard-independent)
+    assert _re.search(r"@article\{Smith2020DeepLearnedT-[0-9a-f]{6},", text)
+    assert _re.search(r"@inproceedings\{Roe2021Secondpaper-[0-9a-f]{6},", text)
     assert "author = {Smith, J and Doe, A}" in text
     assert "keywords = {kw one, kw two}" in text
     # LaTeX escaping of & and {}
     assert r"Deep \& Learned \{Things\}" in text
+    # a literal backslash must not be mangled by the brace pass
+    from bibexpy_ray.sources.formats import _latex_escape
+
+    assert _latex_escape("C:\\data") == "C:\\textbackslash{}data"
+    assert _latex_escape("a{b}~c") == "a\\{b\\}\\textasciitilde{}c"
     # empty fields omitted
     assert "volume = {}" not in text
 
 
 def test_bibtex_key_uniqueness():
+    import re as _re
+
+    # identical records (identity-hash tie) fall back to ordinals in-batch
     dup = pd.concat([RECORDS.iloc[[0]]] * 3, ignore_index=True)
     text = format_bibtex(dup)
-    assert "@article{Smith2020DeepLearnedT," in text
-    assert "@article{Smith2020DeepLearnedT_1," in text
-    assert "@article{Smith2020DeepLearnedT_2," in text
+    assert _re.search(r"@article\{Smith2020DeepLearnedT-[0-9a-f]{6},", text)
+    assert _re.search(r"@article\{Smith2020DeepLearnedT-[0-9a-f]{6}_1,", text)
+    assert _re.search(r"@article\{Smith2020DeepLearnedT-[0-9a-f]{6}_2,", text)
+    # DIFFERENT records sharing the slug diverge by hash alone, no ordinals:
+    # cross-shard safety without shared state
+    import pandas as _pd
+
+    a = RECORDS.iloc[[0]].copy()
+    b = RECORDS.iloc[[0]].copy()
+    b["DI"] = "10.9/other"
+    ka = _re.search(r"@article\{(\S+),", format_bibtex(a)).group(1)
+    kb = _re.search(r"@article\{(\S+),", format_bibtex(b)).group(1)
+    assert ka != kb and "_" not in ka and "_" not in kb
 
 
 def test_ris_format_tags():

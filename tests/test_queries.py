@@ -334,3 +334,51 @@ def test_hll_registers_merge_associative():
     assert (whole == merged).all()  # partials merge losslessly by max
     est = hll_estimate(whole)
     assert abs(est - 10_000) / 10_000 < 0.05
+
+
+def test_asof_cogroup_tie_at_equal_timestamp(tmp_path, ray_session):
+    """A probe at EXACTLY a build's timestamp must match it (at-or-before),
+    and among equal-ts builds the max orderkey wins — the tie semantics the
+    broadcast path and DuckDB ASOF both implement."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bibexpy_ray.pipelines.temporal import (
+        asof_join_cogroup,
+        asof_join_events_orders,
+    )
+
+    t0 = pd.Timestamp("2024-03-01")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": [100, 101, 50],
+                "o_custkey": [1, 1, 2],
+                "o_orderdate": pa.array(
+                    [t0, t0, t0 - pd.Timedelta(days=3)], type=pa.timestamp("us")
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [5, 6, 7],
+                "user_id": [1, 2, 2],
+                "ts": pa.array(
+                    [t0, t0 - pd.Timedelta(days=5), t0], type=pa.timestamp("us")
+                ),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = asof_join_cogroup(str(tmp_path)).set_index("event_id")
+    # event 5 at exactly t0 matches the max-orderkey order at t0
+    assert out.loc[5, "o_orderkey"] == 101
+    # event 6 precedes customer 2's only order -> no match
+    assert 6 not in out.index
+    assert out.loc[7, "o_orderkey"] == 50
+    # broadcast path agrees
+    b = asof_join_events_orders(str(tmp_path)).set_index("event_id")
+    pd.testing.assert_frame_equal(out.sort_index(), b.sort_index())

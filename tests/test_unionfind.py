@@ -62,3 +62,48 @@ def test_clusters_driver_arrays_equivalent():
         assert got == want, trial
     m, c = clusters_driver_arrays(np.empty(0, object), np.empty(0, object))
     assert len(m) == 0 and len(c) == 0
+
+
+def test_hash_partition_apply_zero_block_input_keeps_output_schema(ray_session):
+    """A zero-block input must still produce fn's OUTPUT schema, not leak the
+    pre-shuffle input columns downstream."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": df["x"].astype("int64"),
+                "id_b": df["x"].astype("int64"),
+                "dropped": df["x"].astype("int64"),
+            }
+        )
+
+    empty_like = reduce_fn(pd.DataFrame({"x": pd.Series([], dtype=np.int64)}))
+    # a filtered empty dataset yields schema-LESS zero-row blocks (the
+    # filter UDF never ran); the empty_like exemplar restores the contract
+    src = rd.from_arrow(
+        pa.table({"x": pa.array([], type=pa.int64()),
+                  "_part": pa.array([], type=pa.int32())})
+    ).filter(lambda r: True)
+    out = hash_partition_apply(src, 4, reduce_fn, empty_like=empty_like)
+    # Dataset-LEVEL schema is what unions / select_columns consume (Ray's
+    # to_pandas drops columns on fully-empty datasets — upstream behavior)
+    assert out.schema().names == ["id_a", "id_b", "dropped"]
+    assert out.count() == 0
+    # downstream ops that used to break on the leaked input schema now work
+    assert out.select_columns(["id_a", "id_b"]).count() == 0
+    assert out.union(rd.from_pandas(empty_like.assign(extra=1)[
+        ["id_a", "id_b", "dropped"]])).count() == 0
+    # schema-CORRECT empty input works even without the exemplar: the
+    # reducer runs on an empty frame derived from the input schema
+    src2 = rd.from_arrow(
+        pa.table({"x": pa.array([], type=pa.int64()),
+                  "_part": pa.array([], type=pa.int32())})
+    )
+    out2 = hash_partition_apply(src2, 4, reduce_fn)
+    assert out2.schema().names == ["id_a", "id_b", "dropped"]
+    assert out2.count() == 0
