@@ -146,6 +146,23 @@ def apply_splits(
     )
 
 
+def restore_from_snapshot(
+    ds: rd.Dataset, col: str, snapshot_col: str
+) -> rd.Dataset:
+    """Undo an apply: the pre-apply snapshot column becomes ``col`` again and
+    the snapshot column disappears (the reference's ``restore_snapshot``,
+    pipeline.py:1040-1070 analog — there a saved frame version, here the
+    in-row snapshot written by apply_rewrite/apply_splits). One streaming
+    pass; apply → restore is the identity, tested."""
+
+    def restore(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out[col] = out[snapshot_col]
+        return out.drop(columns=[snapshot_col])
+
+    return ds.map_batches(restore, batch_format="pandas")
+
+
 def country_mapping_from_blocks(blocks: pd.DataFrame) -> dict[str, str]:
     """Tier-1 country proposals → {variant_lower: canonical} apply map."""
     mapping: dict[str, str] = {}

@@ -55,3 +55,24 @@ def test_apply_splits_propose_apply_repropose_empty(ray_session):
     # applying the same assignments again changes nothing (idempotent)
     out2, metrics2 = apply_splits(out, assignments, "au", "rec_id")
     assert metrics2["changed_rows"] == 0
+
+
+def test_restore_from_snapshot_roundtrip(ray_session):
+    """apply (with snapshot) → restore is the identity on the column."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bibexpy_ray.pipelines.rewrite import apply_rewrite, restore_from_snapshot
+
+    src = pd.DataFrame({"rec_id": [1, 2, 3], "name": ["a corp", "B Corp", "c llc"]})
+    ds = rd.from_pandas(src)
+    rewritten, metrics = apply_rewrite(
+        ds, "name", {"a corp": "A Corporation"}, snapshot_col="name_raw"
+    )
+    rw = rewritten.to_pandas().sort_values("rec_id")
+    assert rw["name"].tolist() == ["A Corporation", "B Corp", "c llc"]
+    assert metrics["changed_rows"] == 1
+    restored = restore_from_snapshot(rewritten, "name", "name_raw").to_pandas()
+    restored = restored.sort_values("rec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(restored[["rec_id", "name"]], src)
+    assert "name_raw" not in restored.columns
