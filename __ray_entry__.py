@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": relational.distinct_users,
         "hll_distinct_users": relational.hll_distinct_users,
         "customers_without_orders": relational.customers_without_urgent_orders,
+        "customers_with_orders": relational.customers_with_urgent_orders,
+        "sample_orders": relational.sample_orders_systematic,
         "rolling_daily_value": relational.rolling_daily_value,
         # text analysis
         "token_stats": textstats.token_stats,
@@ -365,6 +367,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "customers_with_orders": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "sample_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey % 10 = 3"
         ),
         "value_quantiles": (
             # percentile_disc over integer cents per event type; DuckDB needs

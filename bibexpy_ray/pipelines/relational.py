@@ -840,6 +840,49 @@ def customers_without_urgent_orders(sf_dir: str) -> rd.Dataset:
     return cust.map_batches(anti, batch_format="pandas")
 
 
+def customers_with_urgent_orders(sf_dir: str) -> rd.Dataset:
+    """Broadcast SEMI-join (the anti-join's complement): keep customers whose
+    key appears in the filtered fact-table FK set. Same broadcast shape —
+    distinct keys ship once, customers stream a sorted-probe filter."""
+    import ray as _ray
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch.loc[batch["o_orderpriority"] == "1-URGENT", ["o_custkey"]]
+        return k.drop_duplicates()
+
+    keys = (
+        orders.map_batches(urgent_keys, batch_format="pandas")
+        .to_pandas()["o_custkey"]
+        .unique()
+    )
+    keys_ref = _ray.put(np.sort(keys))
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def semi(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(keys_ref)
+        probe = batch["c_custkey"].to_numpy()
+        pos = np.minimum(np.searchsorted(ks, probe), len(ks) - 1)
+        return batch[ks[pos] == probe]
+
+    return cust.map_batches(semi, batch_format="pandas")
+
+
+def sample_orders_systematic(sf_dir: str, modulus: int = 10, residue: int = 3) -> rd.Dataset:
+    """Deterministic systematic sample: keep rows whose key falls in a fixed
+    residue class — reproducible across runs/partitionings (the seedable
+    sample a pipeline needs when `random_shuffle` nondeterminism would break
+    resume or oracle comparison). A vectorized filter; no shuffle."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(k % modulus == residue))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def value_quantiles(sf_dir: str, qs: tuple = (25, 50, 75, 90)) -> pd.DataFrame:
     """Exact per-group quantiles at 100-TB scale WITHOUT a global sort: event
     values are 2-decimal, so a per-(group, cents) counting histogram is a
