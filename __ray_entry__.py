@@ -47,6 +47,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
     )
 
+    # ORDER CONTRACT: the driver's correctness run covers the FIRST 50
+    # entries in dict order, so every oracle-backed query (49 of them —
+    # exactly the keys of oracle_sql()) sits in the head; the 14 no-oracle
+    # (rows-only) entries form the tail.
     return {
         # temporal custom operators (as-of join, tumbling window)
         "asof_join": temporal.asof_join_events_orders,
@@ -56,17 +60,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_nation": relational.top_orders_per_nation,
         "union_filtered": relational.union_filtered,
         "coalesce_fill": relational.coalesce_fill,
-        # entity clustering (disambiguation analog) + model scoring
-        "smart_match": assign.smart_match_pairs,
         # C1 geographic family (synthetic address column, oracle-checked)
         "country_counts": geo.country_counts,
         "c1_institutions": geo.c1_institutions,
         "country_rewrite_flags": geo.country_rewrite_flags,
-        "entity_clusters": entity.customer_name_clusters,
         "entity_splits": entity.source_lang_splits,
         "entity_interval_splits": entity.interval_splits,
-        "source_classifier": mlscore.source_classifier,
-        "keyword_tagger": mlscore.keyword_tagger,
         # filters (filter_engine analogs)
         "filter_range": relational.filter_numeric_range,
         "filter_in_set": relational.filter_set_membership,
@@ -92,7 +91,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": relational.value_quantiles,
         "events_pivot": relational.events_pivot,
         "distinct_users": relational.distinct_users,
-        "hll_distinct_users": relational.hll_distinct_users,
         "customers_without_orders": relational.customers_without_urgent_orders,
         "customers_with_orders": relational.customers_with_urgent_orders,
         "sample_orders": relational.sample_orders_systematic,
@@ -102,7 +100,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_bpe": textstats.token_stats_bpe,
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
-        "fingerprint": textstats.fingerprint,
         "fingerprint_kgrams": textstats.fingerprint_kgrams,
         # dedup family
         "exact_dedup": docdedup.exact_dedup,
@@ -111,11 +108,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_pairs_word3": docdedup.neardup_pairs_word3,
         "minhash_clusters": docdedup.minhash_clusters,
         "neardup_dedup": docdedup.neardup_dedup,
-        "simhash_pairs": docdedup.simhash_pairs,
         # similarity search
         "ann_topk": ann.ann_topk,
-        "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup": ann.embedding_neardup_pairs,
+        # ---- no-oracle (rows-only) tail --------------------------------
+        "simhash_pairs": docdedup.simhash_pairs,
+        "smart_match": assign.smart_match_pairs,
+        "entity_clusters": entity.customer_name_clusters,
+        "source_classifier": mlscore.source_classifier,
+        "keyword_tagger": mlscore.keyword_tagger,
+        "hll_distinct_users": relational.hll_distinct_users,
+        "fingerprint": textstats.fingerprint,
+        "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         # multimodal (synthetic image corpus — no external data)
         "image_decode_stats": multimodal.image_decode_stats,

@@ -53,6 +53,11 @@ FEATURE_INPUT_COLS = ["image_id", "caption", "phash", "fmt"]
 #: hash-joins features to edges (tests/test_verify_join_path.py proves the
 #: two paths equivalent)
 BROADCAST_LIMIT = 2_000_000
+#: exact-dup loser uids broadcast below this edge count (8 B/uid → ≤16 MB);
+#: above it the losers anti-join the feature table via an Arrow-native hash
+#: shuffle (tests/test_verify_join_path.py proves the paths equivalent) —
+#: the exact-dup edge SET never lands on the driver at any scale
+LOSER_BROADCAST_LIMIT = 2_000_000
 
 
 class ClusterLabels:
@@ -181,7 +186,6 @@ class ClusterLabels:
 
             return ds.map_batches(probe, batch_format="pyarrow")
         labels = self._labels_ds
-        n_parts = max(8, len(self) // 500_000) if labels is not None else 8
         if labels is None:
             if members_only:
                 return ds.limit(0)
@@ -189,15 +193,48 @@ class ClusterLabels:
                 lambda df: df.assign(cluster_id=df["image_id"]),
                 batch_format="pandas",
             )
-        if members_only:
-            return ds.join(labels, "inner", n_parts, on=("image_id",))
-        joined = ds.join(labels, "left_outer", n_parts, on=("image_id",))
-        return joined.map_batches(
-            lambda df: df.assign(
-                cluster_id=df["cluster_id"].fillna(df["image_id"])
+        # co-partition lookup via the raw-task hash shuffle — Dataset.join
+        # reserves an aggregator ACTOR pool sized by num_partitions, which
+        # cannot schedule on small clusters (see stages/unionfind.py); the
+        # task shuffle has no actor floor and the same all-to-all cost
+        from bibexpy_ray.functions.hashing import text_hash_u64 as _th
+        from bibexpy_ray.stages.shuffle import hash_partition_apply as _hpa
+
+        n_parts = max(8, len(self) // 500_000)
+        marked = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"image_id": df["image_id"], "_lab": df["cluster_id"]}
             ),
             batch_format="pandas",
         )
+
+        def key(t: pa.Table) -> np.ndarray:
+            ids = t.column("image_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return (_th(ids) % np.uint64(n_parts)).astype(np.int32)
+
+        def lookup(part: pd.DataFrame) -> pd.DataFrame:
+            if "_lab" not in part.columns:
+                # no labels landed here: every row keeps its own id
+                if members_only:
+                    return part.iloc[0:0].assign(cluster_id=part["image_id"].iloc[0:0])
+                return part.assign(cluster_id=part["image_id"])
+            # only label rows carry _lab (ds rows get a null via promotion)
+            is_lab = part["_lab"].notna()
+            build = pd.DataFrame(
+                {
+                    "image_id": part.loc[is_lab, "image_id"],
+                    "cluster_id": part.loc[is_lab, "_lab"],
+                }
+            ).drop_duplicates("image_id")
+            probe = part.loc[~is_lab].drop(columns=["_lab"])
+            m = probe.merge(build, on="image_id", how="left")
+            if members_only:
+                return m[m["cluster_id"].notna()]
+            return m.assign(cluster_id=m["cluster_id"].fillna(m["image_id"]))
+
+        return _hpa(ds.union(marked), n_parts, lookup, key_fn=key)
 
 
 @dataclass
@@ -561,9 +598,11 @@ def dedup_images(
     features = features.materialize()
     _lap("s_features")
 
-    # fixed floor, not CPU-proportional: coarse partitions bound per-task skew
-    # (hot buckets concentrate in few partitions when P is small) and a fixed
-    # P keeps results and load shape identical across cluster sizes
+    # coarse partition count: a 64-partition floor bounds per-task skew (hot
+    # buckets concentrate in few partitions when P is small); above 32 CPUs
+    # it grows with the cluster (2 per CPU) so reduce tasks keep every core
+    # busy. Results are partition-count-free (order-free reduces), so the
+    # growth never changes answers across cluster sizes.
     n_coarse = max(64, int(ray.cluster_resources().get("CPU", 4)) * 2)
 
     # ---- exact pre-collapse -------------------------------------------------
@@ -609,40 +648,112 @@ def dedup_images(
             key_fn=key,
         )
 
-    exact_edges = checkpoint("exact_edges", exact_stage)
-
-    # representatives: drop exact-dup losers before LSH (candidate-volume bound)
-    exact_pd = exact_edges.to_pandas()
-    exact_losers: set[str] = set(exact_pd["id_b"]) if len(exact_pd) else set()
-    metrics["exact_edges"] = int(len(exact_pd))
+    # exact edges STAY a Dataset — at a 10% dup rate a trillion-row corpus
+    # carries ~10^11 exact edges, so no O(edges) structure may touch the
+    # driver before a cap gate; the count is metadata on the materialization
+    exact_edges = checkpoint("exact_edges", exact_stage).materialize()
+    n_exact = int(exact_edges.count())
+    metrics["exact_edges"] = n_exact
     _lap("s_exact")
 
-    # loser filter by numeric uid against a PREBUILT sorted array — building
-    # or sorting the value set per batch would dominate the filter
     from bibexpy_ray.functions.hashing import text_hash_u64 as _th64
 
-    loser_uids = (
-        np.sort(_th64(sorted(exact_losers))) if exact_losers else np.empty(0, np.uint64)
-    )
-    loser_ref = ray.put(loser_uids)
+    def _loser_uid_batch(t: pa.Table) -> pa.Table:
+        # id_b values are globally unique by construction: the exact groups
+        # partition rows and each loser appears in exactly one edge
+        ids = t.column("id_b")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"_luid": pa.array(_th64(ids), type=pa.uint64())})
 
-    def drop_losers(batch: pa.Table) -> pa.Table:
-        # pure-Arrow-adjacent filter: keeps the _minhash fixed_size_list intact
-        lose = ray.get(loser_ref)
-        if lose.size == 0:
-            return batch
-        uids = batch.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
-        pos = np.searchsorted(lose, uids)
-        pos[pos == lose.size] = 0
-        mask = lose[pos] != uids
-        return batch.filter(pa.array(mask))
+    if n_exact <= LOSER_BROADCAST_LIMIT:
+        # collect ONLY the 8-byte loser uids (≤16 MB at the cap), never the
+        # string edge table; filter by vectorized searchsorted per batch
+        uid_blocks = [
+            b.column("_luid").to_numpy(zero_copy_only=False)
+            for b in ray.get(
+                exact_edges.select_columns(["id_b"])
+                .map_batches(_loser_uid_batch, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if b.num_rows and "_luid" in b.schema.names
+        ]
+        loser_uids = (
+            np.sort(np.concatenate(uid_blocks).astype(np.uint64))
+            if uid_blocks
+            else np.empty(0, np.uint64)
+        )
+        loser_ref = ray.put(loser_uids)
+
+        def drop_losers(batch: pa.Table) -> pa.Table:
+            # pure-Arrow-adjacent filter: keeps the _minhash fixed_size_list
+            # intact; PREBUILT sorted array (building per batch would dominate)
+            lose = ray.get(loser_ref)
+            if lose.size == 0:
+                return batch
+            uids = batch.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = np.searchsorted(lose, uids)
+            pos[pos == lose.size] = 0
+            mask = lose[pos] != uids
+            return batch.filter(pa.array(mask))
+
+        reps_lazy = features.map_batches(drop_losers, batch_format="pyarrow")
+    else:
+        # scale path: anti-join by uid hash partition. Acero joins reject the
+        # fixed_size_list _minhash payload column, so this is a manual
+        # ARROW-native hash shuffle (stages/shuffle.py arrow mode): feature
+        # rows and loser-mark rows co-partition on uid; each reduce drops
+        # marked uids with one vectorized searchsorted — no pandas hop, so
+        # every signature column survives with its Arrow type intact.
+        from bibexpy_ray.functions import hashing as _hashing
+        from bibexpy_ray.stages.shuffle import hash_partition_apply as _hpa
+
+        marks = exact_edges.select_columns(["id_b"]).map_batches(
+            lambda t: _loser_uid_batch(t)
+            .rename_columns(["_uid"])
+            .append_column("_isloser", pa.array(np.ones(t.num_rows, dtype=bool))),
+            batch_format="pyarrow",
+        )
+        n_anti = max(n_coarse, int(features.count()) // 500_000)
+
+        def uid_key(t: pa.Table) -> np.ndarray:
+            u = t.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return (_hashing.splitmix64(u) % np.uint64(n_anti)).astype(np.int32)
+
+        def anti(part: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if part.num_rows == 0 or "_isloser" not in part.schema.names:
+                return part
+            isl = (
+                pc.fill_null(part.column("_isloser"), False)
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            feat = part.filter(pa.array(~isl)).drop_columns(["_isloser"])
+            lose = np.unique(
+                part.filter(pa.array(isl))
+                .column("_uid")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            if lose.size == 0 or feat.num_rows == 0:
+                return feat
+            uids = feat.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = np.searchsorted(lose, uids)
+            pos[pos == lose.size] = 0
+            return feat.filter(pa.array(lose[pos] != uids))
+
+        reps_lazy = _hpa(
+            features.union(marks), n_anti, anti, key_fn=uid_key, arrow=True
+        )
 
     # pin reps too: four consumers (LSH bucket emit, containment, verify
     # feature join, schema fetch) would each re-run the filter as a separate
     # Ray job — ~0.5 s of fixed execution cost per consumer regardless of CPU
     # count (a pure serial term in the scaling ratio). Same bounded-size
     # argument as the features pin (bytes never enter this table).
-    reps = features.map_batches(drop_losers, batch_format="pyarrow").materialize()
+    reps = reps_lazy.materialize()
 
     # ---- candidate generation ----------------------------------------------
     def candidates_stage():
@@ -763,8 +874,9 @@ def dedup_images(
 
     def verify_stage():
         # rep count derived arithmetically — a reps.count() here would execute
-        # the filter chain once just to pick a code path
-        n_reps = features.count() - len(exact_losers)
+        # the filter chain once just to pick a code path (each exact edge
+        # removes exactly one loser, so reps = rows - exact edges)
+        n_reps = features.count() - n_exact
         edge_cols = edges_raw.select_columns(["id_a", "id_b"])
         if n_reps <= BROADCAST_LIMIT:
             # broadcast lookup as a uid-SORTED ARROW table: Arrow objects in
@@ -772,8 +884,26 @@ def dedup_images(
             # numpy broadcast would re-deserialize every python string in
             # every task); probes are vectorized searchsorted over the uid
             # column, and only probed rows ever materialize to python
-            feat_tbl = pa.concat_tables(
-                ray.get(reps.select_columns(feat_cols).to_arrow_refs())
+            # zero-row reduce blocks pass select_columns un-projected (the
+            # UDF never runs), so drop empties and normalize column order
+            # before concatenating
+            feat_blocks = [
+                b.select(feat_cols)
+                for b in ray.get(reps.select_columns(feat_cols).to_arrow_refs())
+                if b.num_rows
+            ]
+            feat_tbl = (
+                pa.concat_tables(feat_blocks)
+                if feat_blocks
+                else pa.table(
+                    {
+                        "_uid": pa.array([], pa.uint64()),
+                        "image_id": pa.array([], pa.string()),
+                        "_norm_caption": pa.array([], pa.large_string()),
+                        "phash": pa.array([], pa.int64()),
+                        "_authority": pa.array([], pa.string()),
+                    }
+                )
             ).combine_chunks()
             uids = feat_tbl.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
             order = np.argsort(uids)
@@ -881,22 +1011,21 @@ def dedup_images(
     # candidate-count gate wasted. (Every non-borderline stage carries
     # confidence >= 0.9: 1-4 = 1.0/.99/.95/.90.)
     n_verified = int(verified.count())
-    if n_verified + len(exact_pd) > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
+    if n_verified + n_exact > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
         # distributed min-label propagation straight over the edge DATASET
-        # (union with the exact pre-collapse edges); equivalence with the
+        # (union with the exact pre-collapse edge DATASET — the exact edges
+        # never transit the driver on this path); equivalence with the
         # driver union-find is proven in tests/test_unionfind.py
         from bibexpy_ray.stages.unionfind import clusters_distributed
 
         edges_ds = auto_edges_ds
-        if len(exact_pd):
-            edges_ds = edges_ds.union(
-                rd.from_pandas(exact_pd[["id_a", "id_b"]])
-            )
+        if n_exact:
+            edges_ds = edges_ds.union(exact_edges.select_columns(["id_a", "id_b"]))
         labels_ds = clusters_distributed(edges_ds).materialize()
         labels = ClusterLabels(labels_ds=labels_ds)
-        metrics["clusters"] = int(
-            labels_ds.groupby("cluster_id").count().count()
-        )
+        # cluster count is read off the survivor table below (one row per
+        # cluster, already materialized) — a groupby here purely for the
+        # metric would cost an extra full shuffle
         n_auto_edges = int(auto_edges_ds.count())
         metrics["verified_auto"] = n_auto_edges
         metrics["borderline"] = n_verified - n_auto_edges
@@ -925,17 +1054,17 @@ def dedup_images(
         else:
             auto_tbl = auto_tbl.select(["id_a", "id_b"])
         _lap("s_uf_collect")
-        if len(exact_pd):
+        if n_exact:
+            # ids-only arrow-refs collect of the exact edges — reached only
+            # under the DRIVER_EDGE_LIMIT gate, so bounded like the auto set
+            exact_blocks = [
+                b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                for b in ray.get(
+                    exact_edges.select_columns(["id_a", "id_b"]).to_arrow_refs()
+                )
+            ]
             auto_tbl = pa.concat_tables(
-                [
-                    auto_tbl,
-                    pa.table(
-                        {
-                            "id_a": pa.array(exact_pd["id_a"], pa.string()),
-                            "id_b": pa.array(exact_pd["id_b"], pa.string()),
-                        }
-                    ),
-                ],
+                [auto_tbl, *[b.select(["id_a", "id_b"]) for b in exact_blocks if b.num_rows]],
                 promote_options="default",
             )
         # Arrow-native CC: endpoints stay dictionary codes; only the V unique
@@ -979,6 +1108,10 @@ def dedup_images(
     ).materialize()
 
     _lap("s_survivor")
+    if "clusters" not in metrics:
+        # distributed-CC path: one survivor row per cluster, and clusters_ds
+        # is already materialized — count is metadata, no extra shuffle
+        metrics["clusters"] = int(clusters_ds.count())
     if rdir is not None:
         rdir.mark_done("result", metrics)
 

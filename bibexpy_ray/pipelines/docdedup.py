@@ -227,32 +227,54 @@ class IntBucketPairEmitter:
     (``splitmix64(doc_id ^ bucket_key)`` tie-break) so different bands'
     windows truncate DIFFERENT pairs and their union recovers coverage; the dropped
     pair count is emitted per row (no silent truncation — the count survives
-    dedupe as max and surfaces in metrics)."""
+    dedupe as max and surfaces in metrics).
 
-    def __init__(self, cap: int = 4096, window: int = 8):
+    ``value_col`` (optional): name of a u64 column carried per bucket row
+    (e.g. the full SimHash); emitted as ``val_a``/``val_b`` aligned with the
+    pair's (min, max) id order so a downstream vectorized verify (Hamming)
+    needs no join back to the corpus. When present it doubles as the
+    hot-bucket sort key (identical signatures stay adjacent under the cap)."""
+
+    def __init__(self, cap: int = 4096, window: int = 8, value_col: str | None = None):
         self.cap = cap
         self.window = window
+        self.value_col = value_col
+
+    def _empty(self) -> pd.DataFrame:
+        extra: dict[str, np.dtype] = {"dropped": np.int64}
+        if self.value_col:
+            extra["val_a"] = _U64
+            extra["val_b"] = _U64
+        return _empty_int_pairs(extra)
 
     def __call__(self, part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
-            return _EMPTY_INT_PAIRS.copy()
+            return self._empty()
         part = part.sort_values(["bucket_key", "doc_id"], kind="mergesort")
         keys = part["bucket_key"].to_numpy()
         ids = part["doc_id"].to_numpy(dtype=np.int64)
-        sortkey = (
-            part["sortkey"].to_numpy(dtype=_U64)
-            if "sortkey" in part.columns
+        vals = (
+            part[self.value_col].to_numpy(dtype=_U64)
+            if self.value_col and self.value_col in part.columns
             else None
         )
+        if "sortkey" in part.columns:
+            sortkey = part["sortkey"].to_numpy(dtype=_U64)
+        else:
+            sortkey = vals  # signature proximity by the carried value
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         ends = np.r_[starts[1:], len(keys)]
         sizes = ends - starts
         out_a, out_b, out_d = [], [], []
+        out_va, out_vb = [], []
         two = starts[sizes == 2]
         if len(two):
             out_a.append(ids[two])
             out_b.append(ids[two + 1])
             out_d.append(np.zeros(len(two), dtype=np.int64))
+            if vals is not None:
+                out_va.append(vals[two])
+                out_vb.append(vals[two + 1])
         for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
             m = e - s
             n_pairs = m * (m - 1) // 2
@@ -261,6 +283,9 @@ class IntBucketPairEmitter:
                 out_a.append(ids[s:e][ia])
                 out_b.append(ids[s:e][ib])
                 out_d.append(np.zeros(len(ia), dtype=np.int64))
+                if vals is not None:
+                    out_va.append(vals[s:e][ia])
+                    out_vb.append(vals[s:e][ib])
             else:
                 # per-band salted proximity order (see class docstring)
                 salt = hashing.splitmix64(ids[s:e].view(_U64) ^ keys[s])
@@ -275,17 +300,30 @@ class IntBucketPairEmitter:
                 out_a.append(a)
                 out_b.append(b)
                 out_d.append(np.full(len(a), n_pairs - len(a), dtype=np.int64))
+                if vals is not None:
+                    sv = vals[s:e][order]
+                    out_va.append(
+                        np.concatenate([sv[:-off] for off in range(1, w + 1)])
+                    )
+                    out_vb.append(
+                        np.concatenate([sv[off:] for off in range(1, w + 1)])
+                    )
         if not out_a:
-            return _EMPTY_INT_PAIRS.copy()
+            return self._empty()
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "dropped": np.concatenate(out_d),
-            }
-        )
+        out = {
+            "id_a": np.minimum(a, b),
+            "id_b": np.maximum(a, b),
+            "dropped": np.concatenate(out_d),
+        }
+        if vals is not None:
+            va = np.concatenate(out_va)
+            vb = np.concatenate(out_vb)
+            swap = a > b  # values track the (min, max) id order
+            out["val_a"] = np.where(swap, vb, va)
+            out["val_b"] = np.where(swap, va, vb)
+        return pd.DataFrame(out)
 
 
 def _dedupe_int_pairs(
@@ -540,6 +578,31 @@ def _char5_memo_key(sf_dir: str, tau: float) -> tuple:
     return (root, round(mt, 3), tau)
 
 
+def _char5_verified_ds(sf_dir: str, tau: float) -> rd.Dataset:
+    """Materialized verified char-5-gram pair Dataset (id_a, id_b, sizes)."""
+    pairs = lsh_candidate_pairs(sf_dir, "char5")
+    return _verify_jaccard_ds(pairs, sf_dir, "char5", tau).materialize()
+
+
+def _collect_char5_pairs(vds: rd.Dataset, key: tuple) -> pd.DataFrame:
+    """Collect + normalize + memoize a verified char5 pair Dataset (bounded
+    by the DRIVER_EDGE_LIMIT gate at every call site)."""
+    out = vds.to_pandas()
+    if len(out) == 0:
+        out = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "inter_size": pd.Series([], dtype=np.int64),
+                "union_size": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    _char5_pairs_memo.clear()  # keep at most one corpus resident
+    _char5_pairs_memo[key] = out
+    return out
+
+
 def neardup_pairs_char5(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
     """Near-duplicate pairs by exact char-5-gram Jaccard ≥ τ (MinHash-LSH
     candidates, exact verify). Integer set sizes match the SQL oracle."""
@@ -547,11 +610,7 @@ def neardup_pairs_char5(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
     hit = _char5_pairs_memo.get(key)
     if hit is not None:
         return hit.copy()
-    pairs = lsh_candidate_pairs(sf_dir, "char5")
-    out = _verify_jaccard(pairs, sf_dir, "char5", tau)
-    _char5_pairs_memo.clear()  # keep at most one corpus resident
-    _char5_pairs_memo[key] = out
-    return out.copy()
+    return _collect_char5_pairs(_char5_verified_ds(sf_dir, tau), key).copy()
 
 
 def neardup_pairs_word3(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
@@ -560,30 +619,114 @@ def neardup_pairs_word3(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
     return _verify_jaccard(pairs, sf_dir, "word3", tau)
 
 
+def _cluster_assignments(sf_dir: str, tau: float) -> rd.Dataset:
+    """(doc_id, cluster_id) Dataset from char-5-gram near-dup components.
+
+    Cap-gated like the flagship (dedup_images.py CC section): below
+    ``DRIVER_EDGE_LIMIT`` verified edges, vectorized driver CC
+    (``clusters_driver_ints``) with the (members, canon) int arrays broadcast
+    via ``ray.put`` and a searchsorted attach per batch; above it, distributed
+    min-label propagation over the edge DATASET plus a hash-partitioned
+    left-join-style fill — no O(edges) structure lands on the driver.
+    tests/test_docdedup.py proves the two paths identical on a forced gate."""
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+    from bibexpy_ray.stages.unionfind import (
+        DRIVER_EDGE_LIMIT,
+        clusters_distributed,
+        clusters_driver_ints,
+    )
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+    key = _char5_memo_key(sf_dir, tau)
+    verified = _char5_pairs_memo.get(key)
+    if verified is None:
+        vds = _char5_verified_ds(sf_dir, tau)
+        if int(vds.count()) > DRIVER_EDGE_LIMIT:
+            # ---- scale path: edges never collect --------------------------
+            edges = vds.map_batches(
+                lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+            )
+            labels = clusters_distributed(edges).map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "doc_id": df["image_id"].astype(np.int64),
+                        "cluster_id": df["cluster_id"].astype(np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            n_parts = 32
+
+            def fill(part: pd.DataFrame) -> pd.DataFrame:
+                # member rows carry cluster_id, bare doc rows carry null
+                # (schema promotion); canonical = min member <= doc_id, so
+                # max() picks the label over the null and singletons fall
+                # back to their own id
+                if "cluster_id" not in part.columns:
+                    part = part.assign(cluster_id=np.nan)
+                # nullable Int64, not float: float64 corrupts ids above 2^53
+                part = part.assign(cluster_id=part["cluster_id"].astype("Int64"))
+                g = part.groupby("doc_id", as_index=False)["cluster_id"].max()
+                return pd.DataFrame(
+                    {
+                        "doc_id": g["doc_id"].astype(np.int64),
+                        "cluster_id": g["cluster_id"]
+                        .fillna(g["doc_id"])
+                        .astype(np.int64),
+                    }
+                )
+
+            def by_doc(t: pa.Table) -> np.ndarray:
+                d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                return (hashing.splitmix64(d.view(_U64)) % _U64(n_parts)).astype(
+                    np.int32
+                )
+
+            empty = pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in ("doc_id", "cluster_id")}
+            )
+            return hash_partition_apply(
+                docs.union(labels), n_parts, fill, key_fn=by_doc, empty_like=empty
+            )
+        # collect from the ALREADY-materialized pair Dataset (gate-bounded);
+        # memoizes so neardup_pairs_char5/neardup_dedup share the stage
+        verified = _collect_char5_pairs(vds, key)
+
+    members, canon = clusters_driver_ints(
+        verified["id_a"].to_numpy(), verified["id_b"].to_numpy()
+    )
+    ref = ray.put((members, canon))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        mem, can = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = ids.copy()
+        if mem.size:
+            pos = np.minimum(np.searchsorted(mem, ids), mem.size - 1)
+            hit = mem[pos] == ids
+            out[hit] = can[pos[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(attach, batch_format="pyarrow")
+
+
 def minhash_clusters(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
     """Cluster assignment from char-5-gram near-dup pairs: connected
     components, canonical id = min member (order-free); singletons map to
     themselves. Every doc_id appears exactly once."""
-    from bibexpy_ray.stages.unionfind import clusters_driver
-
-    verified = neardup_pairs_char5(sf_dir, tau)
-    cmap = clusters_driver(
-        [(int(a), int(b)) for a, b in zip(verified["id_a"], verified["id_b"])]
-    )
-    ref = ray.put(cmap)
-    docs = read_table(sf_dir, "documents", ["doc_id"])
-
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        cm = ray.get(ref)
-        ids = batch["doc_id"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
+    out = _cluster_assignments(sf_dir, tau).to_pandas()
+    if len(out) == 0:
+        out = pd.DataFrame(
             {
-                "doc_id": ids,
-                "cluster_id": np.array([cm.get(int(i), int(i)) for i in ids], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "cluster_id": pd.Series([], dtype=np.int64),
             }
         )
-
-    out = docs.map_batches(attach, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -591,18 +734,36 @@ def neardup_dedup(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
     """End-to-end corpus dedup: near-dup clusters → one SURVIVOR per cluster
     (min doc_id, the keep-first rule) with its member count — the 'cleaned
     corpus + how much was removed' output a training-data pipeline feeds
-    downstream. Survivor selection is a vectorized groupby over the cluster
-    assignment (which already shares the char5 pair stage)."""
-    assign = minhash_clusters(sf_dir, tau)
-    g = assign.groupby("cluster_id", as_index=False).agg(
-        doc_id=("doc_id", "min"), n_members=("doc_id", "size")
+    downstream. Survivor selection is a hash-partitioned vectorized reduce
+    over the cluster assignment Dataset (which shares the char5 pair stage);
+    only the per-cluster survivor rows collect."""
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    assign = _cluster_assignments(sf_dir, tau)
+    n_parts = 32
+
+    def surv(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("cluster_id", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_members=("doc_id", "size")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype(np.int64),
+                "n_members": g["n_members"].astype(np.int64),
+            }
+        )
+
+    def by_cluster(t: pa.Table) -> np.ndarray:
+        c = t.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return (hashing.splitmix64(c.view(_U64)) % _U64(n_parts)).astype(np.int32)
+
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype=np.int64) for c in ("doc_id", "n_members")}
     )
-    return (
-        g[["doc_id", "n_members"]]
-        .astype(np.int64)
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+    out = hash_partition_apply(
+        assign, n_parts, surv, key_fn=by_cluster, empty_like=empty
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -610,10 +771,16 @@ def neardup_dedup(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
-    """SimHash near-dup pairs: 64-bit SimHash over char-5-gram shingles,
-    8×8-bit band buckets (complete for Hamming ≤ 7 by pigeonhole), exact
-    Hamming verify ≤ ``max_hamming``."""
+def _simhash_pairs_ds(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
+    """SimHash near-dup pairs as a Dataset (id_a, id_b, hamming, dropped).
+
+    64-bit SimHash over char-5-gram shingles, 8×8-bit band buckets (complete
+    for Hamming ≤ 7 by pigeonhole), exact Hamming verify ≤ ``max_hamming``.
+    Pair emission goes through ``IntBucketPairEmitter`` — a degenerate band
+    (thousands of empty/templated texts sharing a simhash byte) is capped to
+    a salted window ordered by the FULL simhash (near-Hamming neighbors stay
+    adjacent) instead of an O(m²) per-bucket cross product, with the dropped
+    pair count carried through the dedupe as max (no silent truncation)."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     n_parts = 32
     n_bands = 8
@@ -623,73 +790,55 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
         flat, offs = char_shingles(batch.column("text"), 5)
         sim = hashing.simhash_signatures(flat, offs)
         keys = hashing.phash_band_keys(sim.view(np.int64), n_bands)
+        k = keys.ravel().astype(_U64)
         return pa.table(
             {
-                "bucket_key": pa.array(keys.ravel(), type=pa.uint64()),
+                "bucket_key": pa.array(k, type=pa.uint64()),
                 "doc_id": pa.array(np.repeat(ids, n_bands), type=pa.int64()),
                 "simhash": pa.array(np.repeat(sim, n_bands), type=pa.uint64()),
-            }
-        )
-
-    bucket_rows = ds.map_batches(emit, batch_format="pyarrow")
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        k = batch.column("bucket_key").to_numpy(zero_copy_only=False).astype(_U64)
-        part = (hashing.splitmix64(k) % _U64(n_parts)).astype(np.int32)
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
-
-    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        if len(part) == 0:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype=np.int64),
-                    "id_b": pd.Series([], dtype=np.int64),
-                    "hamming": pd.Series([], dtype=np.int64),
-                }
-            )
-        part = part.sort_values(["bucket_key", "doc_id"], kind="mergesort")
-        keys = part["bucket_key"].to_numpy()
-        ids = part["doc_id"].to_numpy(dtype=np.int64)
-        sims = part["simhash"].to_numpy(dtype=_U64)
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        ends = np.r_[starts[1:], len(keys)]
-        rows_a, rows_b, rows_h = [], [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            ia, ib = np.triu_indices(m, k=1)
-            h = hashing.hamming64(sims[s:e][ia], sims[s:e][ib])
-            keep = h <= max_hamming
-            rows_a.append(ids[s:e][ia][keep])
-            rows_b.append(ids[s:e][ib][keep])
-            rows_h.append(h[keep].astype(np.int64))
-        if not rows_a:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype=np.int64),
-                    "id_b": pd.Series([], dtype=np.int64),
-                    "hamming": pd.Series([], dtype=np.int64),
-                }
-            )
-        a = np.concatenate(rows_a)
-        b = np.concatenate(rows_b)
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "hamming": np.concatenate(rows_h),
+                "_part": pa.array(
+                    (hashing.splitmix64(k) % _U64(n_parts)).astype(np.int32),
+                    type=pa.int32(),
+                ),
             }
         )
 
     from bibexpy_ray.stages.shuffle import hash_partition_apply
 
+    emitter = IntBucketPairEmitter(value_col="simhash")
     pairs = hash_partition_apply(
-        bucket_rows.map_batches(add_part, batch_format="pyarrow"),
+        ds.map_batches(emit, batch_format="pyarrow"),
         n_parts,
-        emit_pairs,
+        lambda df: emitter(df),
+        empty_like=emitter._empty(),
     )
+
+    def hamming_verify(batch: pa.Table) -> pa.Table:
+        va = batch.column("val_a").to_numpy(zero_copy_only=False).astype(_U64)
+        vb = batch.column("val_b").to_numpy(zero_copy_only=False).astype(_U64)
+        h = hashing.hamming64(va, vb).astype(np.int64)
+        keep = h <= max_hamming
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "id_a": t.column("id_a").cast(pa.int64()),
+                "id_b": t.column("id_b").cast(pa.int64()),
+                "hamming": pa.array(h[keep], type=pa.int64()),
+                "dropped": t.column("dropped").cast(pa.int64()),
+            }
+        )
+
+    verified = pairs.map_batches(hamming_verify, batch_format="pyarrow")
     # distributed dedupe (a pair surfaces in up to 8 bands; hamming identical
-    # across copies, so min == the value) — only the final result collects
-    out = _dedupe_int_pairs(pairs, n_parts, agg={"hamming": "min"}).to_pandas()
+    # across copies, so min == the value; dropped keeps the worst band's count)
+    return _dedupe_int_pairs(
+        verified, n_parts, agg={"hamming": "min", "dropped": "max"}
+    )
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """SimHash near-dup pairs (query surface): collected + ordered, the
+    ``dropped`` bookkeeping column projected away."""
+    out = _simhash_pairs_ds(sf_dir, max_hamming).to_pandas()
+    out = out[["id_a", "id_b", "hamming"]]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

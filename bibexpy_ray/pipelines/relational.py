@@ -529,38 +529,112 @@ def value_buckets(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Broadcast joins (small-dim lookup — ray.put once, read in every task)
+# Dimension joins: broadcast lookup under the cap, co-partition hash join
+# above it (customer/part scale with SF — they are NOT bounded dimensions)
 # ---------------------------------------------------------------------------
+
+#: dim rows broadcast below this (dict of int→str, ~100 B/row → ≤500 MB at
+#: the cap is too big; 5M rows ≈ tens of MB of keys+values — node-resident);
+#: above it the fact side pre-aggregates per join key (combiner) and the
+#: (key, partial) rows co-partition with the dim via the raw-task hash
+#: shuffle — only distinct-key partials transit, never fact rows
+DIM_BROADCAST_LIMIT = 5_000_000
+
+
+def _copartition_dim(partials_ds, dim_ds, key_col: str, dim_cols: list[str], reduce_fn, n_parts: int = 32):
+    """Co-partition (key, partial-agg) rows with dim rows on ``key_col`` and
+    apply ``reduce_fn`` per partition. Dim rows are marked by their extra
+    columns (null on partial rows after schema promotion)."""
+    from bibexpy_ray.functions import hashing
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    marked = dim_ds.map_batches(
+        lambda df: df[[key_col, *dim_cols]].assign(_dim=True),
+        batch_format="pandas",
+    )
+
+    def key_fn(t: pa.Table) -> np.ndarray:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (hashing.splitmix64(k) % np.uint64(n_parts)).astype(np.int32)
+
+    return hash_partition_apply(
+        partials_ds.union(marked), n_parts, reduce_fn, key_fn=key_fn
+    )
 
 
 def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """orders ⋈ customer ⋈ nation revenue rollup.
 
-    customer/nation are the small sides: broadcast as a custkey→nation-name
-    dict via ``ray.put`` (one object-store copy per node), fact table streams
-    through a vectorized map + per-batch partial aggregate — no shuffle join.
+    nation (25 rows, genuinely bounded) always broadcasts. customer scales
+    with SF: under ``DIM_BROADCAST_LIMIT`` it broadcasts as a custkey→name
+    dict via ``ray.put`` and the fact table streams through a vectorized
+    map + per-batch partial aggregate; above it the orders pre-aggregate
+    per custkey (combiner) and co-partition with the customer dim — both
+    paths proven equivalent in tests/test_dim_join_paths.py.
     """
-    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = read_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nat_name = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
-    cust_nation = {
-        int(c): nat_name[int(n)] for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
-    }
-    lookup_ref = ray.put(cust_nation)
-
+    cust_ds = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        names = batch["o_custkey"].map(lookup)
-        df = pd.DataFrame(
-            {"n_name": names, "revenue_cents": cents(batch["o_totalprice"].to_numpy())}
-        )
-        return df.groupby("n_name", as_index=False).agg(
-            revenue_cents=("revenue_cents", "sum"), n_orders=("revenue_cents", "size")
-        )
+    if int(cust_ds.count()) <= DIM_BROADCAST_LIMIT:
+        cust = cust_ds.to_pandas()
+        cust_nation = {
+            int(c): nat_name[int(n)]
+            for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
+        }
+        lookup_ref = ray.put(cust_nation)
 
-    partials = orders.map_batches(partial, batch_format="pandas").to_pandas()
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(lookup_ref)
+            names = batch["o_custkey"].map(lookup)
+            df = pd.DataFrame(
+                {"n_name": names, "revenue_cents": cents(batch["o_totalprice"].to_numpy())}
+            )
+            return df.groupby("n_name", as_index=False).agg(
+                revenue_cents=("revenue_cents", "sum"), n_orders=("revenue_cents", "size")
+            )
+
+        partials = orders.map_batches(partial, batch_format="pandas").to_pandas()
+    else:  # pragma: no cover - exercised via a forced gate in tests
+        def partial_by_cust(batch: pd.DataFrame) -> pd.DataFrame:
+            df = pd.DataFrame(
+                {
+                    "c_custkey": batch["o_custkey"].astype(np.int64),
+                    "revenue_cents": cents(batch["o_totalprice"].to_numpy()),
+                }
+            )
+            return df.groupby("c_custkey", as_index=False).agg(
+                revenue_cents=("revenue_cents", "sum"),
+                n_orders=("revenue_cents", "size"),
+            )
+
+        nat_ref = ray.put(nat_name)
+
+        def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+            nn = ray.get(nat_ref)
+            is_dim = part.get("_dim")
+            is_dim = is_dim.notna() if is_dim is not None else pd.Series(False, index=part.index)
+            dim = part.loc[is_dim, ["c_custkey", "c_nationkey"]]
+            probe = part.loc[~is_dim, ["c_custkey", "revenue_cents", "n_orders"]]
+            m = probe.merge(dim, on="c_custkey", how="inner")
+            m["n_name"] = m["c_nationkey"].astype(np.int64).map(nn)
+            # schema promotion floats the measure columns (nulls on dim
+            # rows) — cast back so both paths emit identical int64 partials
+            m["revenue_cents"] = m["revenue_cents"].astype(np.int64)
+            m["n_orders"] = m["n_orders"].astype(np.int64)
+            return m.groupby("n_name", as_index=False).agg(
+                revenue_cents=("revenue_cents", "sum"), n_orders=("n_orders", "sum")
+            )
+
+        partials = _copartition_dim(
+            orders.map_batches(partial_by_cust, batch_format="pandas"),
+            cust_ds,
+            "c_custkey",
+            ["c_nationkey"],
+            reduce_part,
+        ).to_pandas()
+
     return (
         partials.groupby("n_name", as_index=False)
         .agg(revenue_cents=("revenue_cents", "sum"), n_orders=("n_orders", "sum"))
@@ -570,28 +644,63 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
 
 def brand_revenue(sf_dir: str) -> pd.DataFrame:
-    """lineitem ⋈ part broadcast join → discounted revenue per brand."""
-    part_df = read_table(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    brand_of = dict(zip(part_df["p_partkey"].astype(np.int64), part_df["p_brand"]))
-    ref = ray.put(brand_of)
-
+    """lineitem ⋈ part → discounted revenue per brand: broadcast dict under
+    ``DIM_BROADCAST_LIMIT`` part rows, per-partkey combiner + co-partition
+    hash join above it (part scales with SF)."""
+    part_ds = read_table(sf_dir, "part", ["p_partkey", "p_brand"])
     li = read_table(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
-        base = cents(batch["l_extendedprice"].to_numpy())
-        disc = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
-        df = pd.DataFrame(
-            {
-                "p_brand": batch["l_partkey"].map(lookup),
-                "rev": base * (100 - disc),
-            }
-        )
-        return df.groupby("p_brand", as_index=False).agg(
-            revenue_cents_x100=("rev", "sum"), n_items=("rev", "size")
-        )
+    if int(part_ds.count()) <= DIM_BROADCAST_LIMIT:
+        part_df = part_ds.to_pandas()
+        brand_of = dict(zip(part_df["p_partkey"].astype(np.int64), part_df["p_brand"]))
+        ref = ray.put(brand_of)
 
-    partials = li.map_batches(partial, batch_format="pandas").to_pandas()
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(ref)
+            base = cents(batch["l_extendedprice"].to_numpy())
+            disc = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "p_brand": batch["l_partkey"].map(lookup),
+                    "rev": base * (100 - disc),
+                }
+            )
+            return df.groupby("p_brand", as_index=False).agg(
+                revenue_cents_x100=("rev", "sum"), n_items=("rev", "size")
+            )
+
+        partials = li.map_batches(partial, batch_format="pandas").to_pandas()
+    else:  # pragma: no cover - exercised via a forced gate in tests
+        def partial_by_part(batch: pd.DataFrame) -> pd.DataFrame:
+            base = cents(batch["l_extendedprice"].to_numpy())
+            disc = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+            df = pd.DataFrame(
+                {"p_partkey": batch["l_partkey"].astype(np.int64), "rev": base * (100 - disc)}
+            )
+            return df.groupby("p_partkey", as_index=False).agg(
+                revenue_cents_x100=("rev", "sum"), n_items=("rev", "size")
+            )
+
+        def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+            is_dim = part.get("_dim")
+            is_dim = is_dim.notna() if is_dim is not None else pd.Series(False, index=part.index)
+            dim = part.loc[is_dim, ["p_partkey", "p_brand"]]
+            probe = part.loc[~is_dim, ["p_partkey", "revenue_cents_x100", "n_items"]]
+            m = probe.merge(dim, on="p_partkey", how="inner")
+            m["revenue_cents_x100"] = m["revenue_cents_x100"].astype(np.int64)
+            m["n_items"] = m["n_items"].astype(np.int64)
+            return m.groupby("p_brand", as_index=False).agg(
+                revenue_cents_x100=("revenue_cents_x100", "sum"), n_items=("n_items", "sum")
+            )
+
+        partials = _copartition_dim(
+            li.map_batches(partial_by_part, batch_format="pandas"),
+            part_ds,
+            "p_partkey",
+            ["p_brand"],
+            reduce_part,
+        ).to_pandas()
+
     return (
         partials.groupby("p_brand", as_index=False)
         .agg(revenue_cents_x100=("revenue_cents_x100", "sum"), n_items=("n_items", "sum"))
@@ -966,30 +1075,21 @@ def top_orders_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
     customer nation. Combiner pattern — every batch reduces to at most
     (groups-in-batch × k) rows BEFORE the shuffle, then one vectorized
     rank per hash partition; the full table never sorts globally and no
-    group materializes whole (the row_number() window analog at scale)."""
-    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nat_of = dict(zip(cust["c_custkey"], cust["c_nationkey"]))  # small side
+    group materializes whole (the row_number() window analog at scale).
+
+    customer scales with SF: under ``DIM_BROADCAST_LIMIT`` it broadcasts as
+    a custkey→nation dict; above it the per-batch combiner keeps top-k per
+    CUSTKEY (a superset of the nation top-k — an order in a nation's top-k
+    is necessarily in its own customer's top-k) and the bounded partials
+    co-partition with the customer dim to pick up nations, then a final
+    per-nation rank. Paths proven equal in tests/test_dim_join_paths.py."""
     import ray as _ray
 
-    nat_ref = _ray.put(nat_of)
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    cust_ds = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     ds = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     n_parts = 16
-
-    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        m = _ray.get(nat_ref)
-        out = pd.DataFrame(
-            {
-                "nation": batch["o_custkey"].map(m).astype(np.int64),
-                "o_orderkey": batch["o_orderkey"].astype(np.int64),
-                "cents": (batch["o_totalprice"] * 100).round().astype(np.int64),
-            }
-        )
-        # per-batch combine: keep k best per group (desc cents, asc key)
-        out = out.sort_values(["nation", "cents", "o_orderkey"],
-                              ascending=[True, False, True])
-        out = out.groupby("nation", as_index=False).head(k)
-        out["_part"] = (out["nation"].to_numpy() % n_parts).astype(np.int32)
-        return out
 
     def final_topk(part: pd.DataFrame) -> pd.DataFrame:
         part = part.sort_values(["nation", "cents", "o_orderkey"],
@@ -998,11 +1098,71 @@ def top_orders_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
         part["rank"] = part.groupby("nation").cumcount() + 1
         return part[["nation", "rank", "o_orderkey", "cents"]].astype(np.int64)
 
-    from bibexpy_ray.stages.shuffle import hash_partition_apply
+    if int(cust_ds.count()) <= DIM_BROADCAST_LIMIT:
+        cust = cust_ds.to_pandas()
+        nat_of = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+        nat_ref = _ray.put(nat_of)
 
-    out = hash_partition_apply(
-        ds.map_batches(partial_topk, batch_format="pandas"), n_parts, final_topk
-    ).to_pandas()
+        def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+            m = _ray.get(nat_ref)
+            out = pd.DataFrame(
+                {
+                    "nation": batch["o_custkey"].map(m).astype(np.int64),
+                    "o_orderkey": batch["o_orderkey"].astype(np.int64),
+                    "cents": (batch["o_totalprice"] * 100).round().astype(np.int64),
+                }
+            )
+            # per-batch combine: keep k best per group (desc cents, asc key)
+            out = out.sort_values(["nation", "cents", "o_orderkey"],
+                                  ascending=[True, False, True])
+            out = out.groupby("nation", as_index=False).head(k)
+            out["_part"] = (out["nation"].to_numpy() % n_parts).astype(np.int32)
+            return out
+
+        out = hash_partition_apply(
+            ds.map_batches(partial_topk, batch_format="pandas"), n_parts, final_topk
+        ).to_pandas()
+    else:  # pragma: no cover - exercised via a forced gate in tests
+        def partial_by_cust(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "c_custkey": batch["o_custkey"].astype(np.int64),
+                    "o_orderkey": batch["o_orderkey"].astype(np.int64),
+                    "cents": (batch["o_totalprice"] * 100).round().astype(np.int64),
+                }
+            )
+            out = out.sort_values(["c_custkey", "cents", "o_orderkey"],
+                                  ascending=[True, False, True])
+            return out.groupby("c_custkey", as_index=False).head(k)
+
+        def nation_partial(part: pd.DataFrame) -> pd.DataFrame:
+            is_dim = part.get("_dim")
+            is_dim = is_dim.notna() if is_dim is not None else pd.Series(False, index=part.index)
+            dim = part.loc[is_dim, ["c_custkey", "c_nationkey"]]
+            probe = part.loc[~is_dim, ["c_custkey", "o_orderkey", "cents"]]
+            m = probe.merge(dim, on="c_custkey", how="inner")
+            m = pd.DataFrame(
+                {
+                    "nation": m["c_nationkey"].astype(np.int64),
+                    "o_orderkey": m["o_orderkey"].astype(np.int64),
+                    "cents": m["cents"].astype(np.int64),
+                }
+            )
+            m = m.sort_values(["nation", "cents", "o_orderkey"],
+                              ascending=[True, False, True])
+            return m.groupby("nation", as_index=False).head(k)
+
+        # bounded partials (≤ partitions × nations × k rows) collect, then
+        # one driver-side final rank — same shape as the broadcast path
+        partials = _copartition_dim(
+            ds.map_batches(partial_by_cust, batch_format="pandas"),
+            cust_ds,
+            "c_custkey",
+            ["c_nationkey"],
+            nation_partial,
+        ).to_pandas()
+        out = final_topk(partials)
+
     return out.sort_values(["nation", "rank"]).reset_index(drop=True)
 
 
@@ -1056,8 +1216,12 @@ def coalesce_fill(sf_dir: str) -> pd.DataFrame:
         own = cents(batch["c_acctbal"].to_numpy())
         neg = batch["c_acctbal"].to_numpy() < 0
         filled = own.copy()
-        for i in np.flatnonzero(neg):
-            filled[i] = lookup.get(int(batch["c_nationkey"].iloc[i]), own[i])
+        if neg.any():
+            # vectorized Series.map over the negative subset only; a nation
+            # with no non-negative rows keeps the row's own value
+            mapped = batch["c_nationkey"].loc[neg].map(lookup).to_numpy()
+            miss = pd.isna(mapped)
+            filled[neg] = np.where(miss, own[neg], mapped).astype(np.int64)
         return pd.DataFrame(
             {
                 "c_custkey": batch["c_custkey"].astype(np.int64),

@@ -321,6 +321,21 @@ class EnrichStage:
         return batch.append_column(self.out_col, pa.array(out, type=pa.string()))
 
 
+def stub_sources_factory() -> "list[tuple[str, SourceFn]]":
+    """Deterministic OFFLINE source chain (no network in this sandbox): two
+    priority sources deriving fields from the key. Lives in the library so
+    actor-pool workers can import it by module path (a test-module factory
+    would ImportError inside the worker and restart the actor forever)."""
+
+    def primary(key: str) -> dict:
+        return {"TI": f"title-{key}", "PY": "2020"}
+
+    def secondary(key: str) -> dict:
+        return {"TI": f"alt-{key}", "SO": f"journal-{key}", "UR": f"https://x.test/{key}"}
+
+    return [("Primary", primary), ("Secondary", secondary)]
+
+
 def stub_candidate_factory() -> CandidateFn:
     """Deterministic OFFLINE candidate source (this sandbox has no network):
     resolves every title to an id derived from its first token, echoing the
@@ -334,6 +349,219 @@ def stub_candidate_factory() -> CandidateFn:
         return [(f"10.9/{first}", title, year or None, surname)]
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Multi-source priority chain (extract_metadata analog)
+# ---------------------------------------------------------------------------
+
+URL_FIELD_MAX = 2079  # Excel's URL cell limit (reference truncate_url_list)
+
+#: fields the chain may fill; the early-exit checks exactly this set
+#: (reference api_utils.py:978-981 _FILLABLE)
+FILLABLE_FIELDS = (
+    "DI", "DT", "AU", "AF", "TI", "PY", "SO", "PU", "SN", "UR", "AB", "DE",
+    "C1", "TC", "CR", "LA", "WC", "SC", "OI", "RI", "ROR", "CC",
+)
+
+
+def is_blank(v: Any) -> bool:
+    """Blank = None/NaN/''/'nan'/'NaN'/'None' (reference _is_blank 1:1)."""
+    if v is None:
+        return True
+    if isinstance(v, float) and v != v:  # NaN without a pandas dependency
+        return True
+    return str(v).strip() in ("", "nan", "NaN", "None")
+
+
+def truncate_url_list(url_list: str, max_length: int = URL_FIELD_MAX) -> str:
+    """'; '-separated URL list truncated to the cell limit, ending in '...'
+    when anything was dropped (reference truncate_url_list semantics:
+    accumulate whole URLs while the running length stays within
+    ``max_length - 3``, then append the ellipsis marker)."""
+    if not url_list or len(url_list) <= max_length:
+        return url_list
+    urls = url_list.split("; ")
+    result: list[str] = []
+    current = 0
+    for url in urls:
+        sep = 0 if not result else 2
+        new_len = current + len(url) + sep
+        if new_len <= max_length - 3:
+            result.append(url)
+            current = new_len
+        else:
+            result.append("...")
+            break
+    return "; ".join(result)
+
+
+def _truncate_urls_inplace(record: dict) -> None:
+    for field, v in record.items():
+        if isinstance(v, str) and ("http://" in v or "https://" in v):
+            record[field] = truncate_url_list(v)
+
+
+# source fetch: callable(key) -> dict of field→value (may raise; a raising
+# source is skipped, exactly like the reference's per-API try/except)
+SourceFn = Callable[[str], dict]
+
+
+def extract_metadata_chain(
+    key: str,
+    current: dict,
+    sources: "list[tuple[str, SourceFn]]",
+    *,
+    early_exit_after: int = 2,
+    fillable: tuple = FILLABLE_FIELDS,
+) -> dict:
+    """Fetch-once-fill-all priority chain (reference api_utils.py:973-1172):
+
+    - sources run in FIXED priority order; each fills only fields still
+      blank, so an earlier source always wins a contested field;
+    - provenance: every field filled with a non-blank value is recorded in
+      the ``API_Sources`` map as field→source-name;
+    - early exit: after the first ``early_exit_after`` sources, if no
+      fillable field remains blank the rest of the chain is never invoked
+      (the reference's biggest latency win);
+    - a source that raises is skipped (never fails the record);
+    - URL-bearing string fields are truncated to the cell limit.
+    """
+    metadata = dict(current)
+    api_sources: dict[str, str] = {}
+
+    def remaining() -> bool:
+        return any(is_blank(metadata.get(f)) for f in fillable)
+
+    def apply(name: str, data: dict) -> None:
+        for k, value in data.items():
+            if is_blank(metadata.get(k)):
+                if isinstance(value, str) and ("http://" in value or "https://" in value):
+                    value = truncate_url_list(value)
+                metadata[k] = value
+                if not is_blank(value):
+                    api_sources[k] = name
+
+    for i, (name, fetch) in enumerate(sources):
+        if i == early_exit_after and not remaining():
+            break
+        try:
+            data = fetch(key)
+        except Exception:
+            continue  # a failing source is skipped, never fatal
+        if data:
+            apply(name, data)
+
+    if api_sources:
+        metadata["API_Sources"] = api_sources
+    _truncate_urls_inplace(metadata)
+    return metadata
+
+
+class MultiSourceEnrichStage:
+    """Actor-pool ``map_batches`` stage running the priority chain per row.
+
+    ``sources_factory`` is called once per actor and returns the ordered
+    ``[(name, fetch_fn), ...]`` list — the place to open transports. Results
+    are cached per DISTINCT key: in-memory LRU first, then (optionally) a
+    persistent ``PayloadCache`` in the run directory keyed by the payload
+    hash of (key, source names) — an actor RESTART resumes from disk instead
+    of refetching (the reference's sqlite response-cache pattern,
+    cache.py:16-51). Rows whose fillable fields are complete short-circuit
+    before any lookup.
+
+    Output: one string column per fillable field present in the batch or
+    filled by the chain, plus ``API_Sources`` as a JSON string column.
+    """
+
+    def __init__(
+        self,
+        sources_factory: Callable[[], "list[tuple[str, SourceFn]]"],
+        *,
+        key_col: str = "doi",
+        fillable: tuple = FILLABLE_FIELDS,
+        early_exit_after: int = 2,
+        cache_size: int = CACHE_SIZE,
+        cache_path: str | None = None,
+    ) -> None:
+        self.sources = sources_factory()
+        self.key_col = key_col
+        self.fillable = tuple(fillable)
+        self.early_exit_after = early_exit_after
+        self.cache = LruCache(cache_size)
+        self.disk: Any = None
+        if cache_path:
+            from bibexpy_ray.state.payload_cache import PayloadCache
+
+            self.disk = PayloadCache(cache_path)
+
+    def _cached_sources(self) -> "list[tuple[str, SourceFn]]":
+        """Wrap each source in a fetch-once cache keyed by (source, key):
+        LRU first, then the persistent cache. Successful fetches (including
+        'no data' = {}) cache; a RAISING fetch does not (transient failures
+        stay retryable — the reference's success-only rule)."""
+        from bibexpy_ray.state.payload_cache import payload_key
+
+        wrapped = []
+        for name, fetch in self.sources:
+            def cached(key: str, _n=name, _f=fetch) -> dict:
+                ck = payload_key({"source": _n, "key": key})
+                hit = self.cache.get(ck)
+                if hit is None and self.disk is not None:
+                    hit = self.disk.get(ck)
+                    if hit is not None:
+                        self.cache.put(ck, hit)
+                if hit is not None:
+                    return hit
+                data = _f(key) or {}  # a raise propagates → chain skips it
+                self.cache.put(ck, data)
+                if self.disk is not None:
+                    self.disk.put(ck, data)
+                return data
+
+            wrapped.append((name, cached))
+        return wrapped
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        names = list(batch.column_names)
+        rows = batch.to_pylist()
+        sources = self._cached_sources()
+        out_rows: list[dict] = []
+        new_fields: set[str] = set()
+        for row in rows:
+            key = row.get(self.key_col)
+            if is_blank(key) or not any(is_blank(row.get(f)) for f in self.fillable):
+                # complete record or no lookup key: zero lookups (the
+                # auto_prepare property — a fully-enriched table is free)
+                out = dict(row)
+                out["API_Sources"] = None
+            else:
+                out = extract_metadata_chain(
+                    str(key),
+                    row,
+                    sources,
+                    early_exit_after=self.early_exit_after,
+                    fillable=self.fillable,
+                )
+                srcs = out.pop("API_Sources", None)
+                out["API_Sources"] = json.dumps(srcs, sort_keys=True) if srcs else None
+            out_rows.append(out)
+            new_fields.update(k for k in out if k not in names and k != "API_Sources")
+        cols = names + sorted(new_fields) + (
+            ["API_Sources"] if "API_Sources" not in names else []
+        )
+        arrays = {}
+        for c in cols:
+            if c in names:
+                arrays[c] = pa.array([r.get(c) for r in out_rows])
+            else:  # chain-added fields surface as nullable strings
+                arrays[c] = pa.array(
+                    [None if is_blank(r.get(c)) else str(r.get(c)) for r in out_rows],
+                    type=pa.string(),
+                )
+        return pa.table(arrays)
 
 
 def enrich_missing_ids(

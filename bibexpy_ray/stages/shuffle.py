@@ -38,6 +38,7 @@ def hash_partition_apply(
     key_fn: Callable[[pa.Table], "np.ndarray"] | None = None,
     rows_per_block: int | None = None,
     empty_like: pd.DataFrame | None = None,
+    arrow: bool = False,
 ) -> rd.Dataset:
     """Apply ``fn`` once per hash partition (``part_col`` in [0, P)).
 
@@ -55,6 +56,12 @@ def hash_partition_apply(
     most that many rows (dynamic returns) — use when P is sized for shuffle
     economy (few, large partitions) but a downstream task-pool map needs more
     blocks than P to keep all CPUs busy.
+
+    ``arrow`` (optional): when True, ``fn`` receives and returns a
+    ``pa.Table`` — no pandas hop in the reduce, so nested Arrow types
+    (fixed_size_list signatures) survive the shuffle intact. Per-group input
+    blocks with differing schemas concat with null promotion, exactly like
+    the pandas mode.
 
     ``empty_like`` (optional) is a ZERO-ROW exemplar of fn's output schema.
     Degenerate inputs (zero blocks, or only schema-less zero-row blocks from
@@ -111,7 +118,9 @@ def hash_partition_apply(
     ]
     if rows_per_block is None:
         reduced = [
-            _reduce_task.remote(fn_ref, part_col, empty_ref, *[s[i] for s in splits])
+            _reduce_task.remote(
+                fn_ref, part_col, empty_ref, arrow, *[s[i] for s in splits]
+            )
             for i in range(P)
         ]
         return rd.from_arrow_refs(reduced)
@@ -162,7 +171,7 @@ def _split_task(P, part_col, key_fn, *tbls):
     )
 
 
-def _reduce_impl(fn, part_col, parts, empty_like=None) -> pa.Table:
+def _reduce_impl(fn, part_col, parts, empty_like=None, arrow=False) -> pa.Table:
     non_empty = [p for p in parts if p.num_rows]
     tbl = (
         pa.concat_tables(non_empty, promote_options="default")
@@ -176,6 +185,10 @@ def _reduce_impl(fn, part_col, parts, empty_like=None) -> pa.Table:
         if empty_like is not None:
             return pa.Table.from_pandas(empty_like, preserve_index=False)
         return tbl
+    if arrow:
+        if part_col in tbl.schema.names:
+            tbl = tbl.drop_columns([part_col])
+        return fn(tbl)
     df = tbl.to_pandas()
     if part_col in df.columns:
         df = df.drop(columns=[part_col])
@@ -184,8 +197,8 @@ def _reduce_impl(fn, part_col, parts, empty_like=None) -> pa.Table:
 
 
 @ray.remote
-def _reduce_task(fn, part_col, empty_like, *parts: pa.Table) -> pa.Table:
-    return _reduce_impl(fn, part_col, parts, empty_like)
+def _reduce_task(fn, part_col, empty_like, arrow, *parts: pa.Table) -> pa.Table:
+    return _reduce_impl(fn, part_col, parts, empty_like, arrow)
 
 
 @ray.remote(num_returns="dynamic")

@@ -95,6 +95,41 @@ def clusters_driver_arrays(id_a, id_b):
     return ids, ids[lab]
 
 
+def clusters_driver_ints(id_a, id_b):
+    """Vectorized driver connected components over int64 edge arrays.
+
+    Integer sibling of ``clusters_driver_arrays``: canonical = MIN member id
+    (np.unique sorts ascending, so the min integer label is the min id).
+    Returns ``(members: sorted int64 ndarray, canon: int64 ndarray)`` — ids
+    seen only in self-edges drop, matching the dict union-find.
+    """
+    import numpy as np
+
+    a = np.asarray(id_a, dtype=np.int64)
+    b = np.asarray(id_b, dtype=np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    if len(a) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[ai], lab[bi])
+        before = lab.copy()
+        np.minimum.at(lab, ai, m)
+        np.minimum.at(lab, bi, m)
+        for _ in range(3):
+            nxt = lab[lab]
+            if (nxt == lab).all():
+                break
+            lab = nxt
+        if (lab == before).all():
+            break
+    return ids, ids[lab]
+
+
 def clusters_driver_arrow(col_a, col_b):
     """``clusters_driver_arrays`` taking Arrow string columns directly.
 
@@ -164,43 +199,142 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
     (image_id, cluster_id).
 
     Each round: every endpoint adopts the min label over its neighborhood
-    (including itself); converges when no label changes. Rounds are
-    groupby-shuffles on the id key — O(log(max component diameter)) rounds for
-    the near-star components dedup produces.
+    (including itself), then pointer-jumps (adopts its label's label) —
+    O(log(max component diameter)) rounds for the near-star components dedup
+    produces; converges when no label changes.
+
+    All shuffles are ``hash_partition_apply`` co-partition passes (mark the
+    build side, union, partition on the probe key, vectorized pandas merge
+    per partition). ``Dataset.join`` is deliberately NOT used: Ray's
+    hash-shuffle join reserves an aggregator ACTOR pool sized by
+    ``num_partitions`` (e.g. 64 aggregators × 0.25 CPU per join, and two
+    joins per plan here) — on a small cluster the pool cannot schedule and
+    the plan deadlocks, and at any scale the raw-task shuffle has no actor
+    floor to warm up. Ids may be strings or int64; int64 survives the
+    promotion to pandas only below 2^53 (≈9e15 — far above any realistic
+    row count; the flagship uses string ids which are exact at any scale).
     """
+    import numpy as np
     import pandas as pd
 
-    def _rename(ds, mapping):
-        # rename via a pandas map_batches — robust across block formats
-        return ds.map_batches(
-            lambda df, m=mapping: df.rename(columns=m), batch_format="pandas"
-        )
+    from bibexpy_ray.functions import hashing
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
 
-    def _dedupe_min(ds, key, val):
-        # per-key minimum via groupby aggregate, normalized column name
-        out = ds.groupby(key).min(val)
-        return _rename(out, {f"min({val})": val})
+    import ray as _ray
 
     edges = edges_ds.map_batches(
         lambda df: pd.DataFrame({"id_a": df["id_a"], "id_b": df["id_b"]}),
         batch_format="pandas",
     ).materialize()
-    n_parts = max(2, edges.num_blocks())
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    n_parts = max(2, min(max(2, edges.num_blocks()), cpus * 4))
 
-    # labels start as identity over every endpoint id
+    # int64 ids null-promote to float64 on the pandas hop inside each
+    # reduce; every reduce output is cast back so the NEXT Arrow concat
+    # sees one consistent type (exact below 2^53 — see docstring)
+    import pyarrow as _pa
+
+    _sch = edges.schema().base_schema
+    if isinstance(_sch, _pa.Schema):
+        id_is_int = _pa.types.is_integer(_sch.field("id_a").type)
+    else:  # PandasBlockSchema (pandas-block upstream)
+        id_is_int = np.issubdtype(
+            _sch.types[list(_sch.names).index("id_a")], np.integer
+        )
+
+    def _cast_ids(df: pd.DataFrame) -> pd.DataFrame:
+        if id_is_int:
+            for c in df.columns:
+                df[c] = df[c].astype(np.int64)
+        return df
+
+    def _key_on(col):
+        def key(t):
+            c = t.column(col)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            if pa.types.is_integer(c.type):
+                v = c.to_numpy(zero_copy_only=False).astype(np.uint64)
+                h = hashing.splitmix64(v)
+            else:
+                h = hashing.text_hash_u64(
+                    c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                )
+            return (h % np.uint64(n_parts)).astype(np.int32)
+
+        return key
+
+    # labels start as identity over every endpoint id, deduped per partition
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         ids = pd.unique(pd.concat([df["id_a"], df["id_b"]], ignore_index=True))
         return pd.DataFrame({"image_id": ids, "cluster_id": ids})
 
-    labels = _dedupe_min(
-        edges.map_batches(init_labels, batch_format="pandas"), "image_id", "cluster_id"
+    def dedupe_min(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("image_id", as_index=False)["cluster_id"].min()
+        return _cast_ids(
+            pd.DataFrame({"image_id": g["image_id"], "cluster_id": g["cluster_id"]})
+        )
+
+    # zero-row exemplars: empty partitions must still emit each stage's
+    # OUTPUT schema (hash_partition_apply's empty_like contract)
+    _idt = np.int64 if id_is_int else object
+
+    def _mt(*cols: str) -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=_idt) for c in cols})
+
+    labels = hash_partition_apply(
+        edges.map_batches(init_labels, batch_format="pandas"),
+        n_parts,
+        dedupe_min,
+        key_fn=_key_on("image_id"),
+        empty_like=_mt("image_id", "cluster_id"),
     ).materialize()
 
+    def attach_lab(part: pd.DataFrame, key: str, out_col: str) -> pd.DataFrame:
+        # build side = label rows (identified by the _lab marker column);
+        # probe side = edge rows. Every endpoint is labeled by construction,
+        # so the left merge is total.
+        if "_lab" not in part.columns:
+            return part.iloc[0:0]
+        is_lab = part["_lab"].notna()
+        build = pd.DataFrame(
+            {key: part.loc[is_lab, key], out_col: part.loc[is_lab, "_lab"]}
+        )
+        probe = part.loc[~is_lab].drop(columns=["_lab"])
+        if len(probe) == 0 or len(build) == 0:
+            return _cast_ids(
+                probe.assign(**{out_col: pd.Series([], dtype=object)}).iloc[0:0]
+            )
+        return _cast_ids(probe.merge(build, on=key, how="left"))
+
+    def marked_labels(lab_ds, key: str):
+        # label rows carry BOTH id columns (key = the probe key, the other
+        # mirrors it) so no shared id column is ever null — int64 types
+        # survive the Arrow concat in the next shuffle intact
+        other = "id_b" if key == "id_a" else "id_a"
+        return lab_ds.map_batches(
+            lambda df, k=key, o=other: pd.DataFrame(
+                {k: df["image_id"], o: df["image_id"], "_lab": df["cluster_id"]}
+            ),
+            batch_format="pandas",
+        )
+
     for _ in range(max_rounds):
-        lab_a = _rename(labels, {"image_id": "id_a", "cluster_id": "lab_a"})
-        lab_b = _rename(labels, {"image_id": "id_b", "cluster_id": "lab_b"})
-        j = edges.join(lab_a, "inner", n_parts, on=("id_a",)).join(
-            lab_b, "inner", n_parts, on=("id_b",)
+        # edge endpoints pick up their current labels (two co-partition passes)
+        with_a = hash_partition_apply(
+            edges.union(marked_labels(labels, "id_a")),
+            n_parts,
+            lambda p: attach_lab(p, "id_a", "lab_a"),
+            key_fn=_key_on("id_a"),
+            empty_like=_mt("id_a", "id_b", "lab_a"),
+        )
+        with_ab = hash_partition_apply(
+            with_a.union(marked_labels(labels, "id_b")),
+            n_parts,
+            lambda p: attach_lab(p, "id_b", "lab_b"),
+            key_fn=_key_on("id_b"),
+            empty_like=_mt("id_a", "id_b", "lab_a", "lab_b"),
         )
 
         def emit_min(df: pd.DataFrame) -> pd.DataFrame:
@@ -212,27 +346,77 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
                 ]
             )
 
-        prop = j.map_batches(emit_min, batch_format="pandas").union(labels)
-        new_labels = _dedupe_min(prop, "image_id", "cluster_id").materialize()
-        # pointer jumping: follow the label's own label (grandparent shortcut)
-        # so chain components converge in O(log diameter) rounds, not O(n).
-        # Every cluster_id is itself a labeled node, so the inner join is total.
-        jump_src = _rename(new_labels, {"image_id": "jump_key", "cluster_id": "jump_lab"})
-        jumped = _rename(new_labels, {"cluster_id": "jump_key"}).join(
-            jump_src, "inner", n_parts, on=("jump_key",)
+        prop = with_ab.map_batches(emit_min, batch_format="pandas").union(labels)
+        new_labels = hash_partition_apply(
+            prop, n_parts, dedupe_min, key_fn=_key_on("image_id"),
+            empty_like=_mt("image_id", "cluster_id"),
         )
-        new_labels = jumped.map_batches(
+        # pointer jumping: follow the label's own label (grandparent
+        # shortcut). Every cluster_id is itself a labeled node, so the
+        # lookup is total.
+        probe = new_labels.map_batches(
             lambda df: pd.DataFrame(
-                {"image_id": df["image_id"], "cluster_id": df["jump_lab"]}
+                {"image_id": df["image_id"], "jump_key": df["cluster_id"]}
             ),
             batch_format="pandas",
-        ).materialize()
-        # convergence: any label changed this round?
-        old = _rename(labels, {"cluster_id": "old"})
-        merged = old.join(new_labels, "inner", n_parts, on=("image_id",))
-        changed = merged.map_batches(
-            lambda df: pd.DataFrame({"c": [int((df["old"] != df["cluster_id"]).sum())]}),
+        )
+        build = new_labels.map_batches(
+            # image_id mirrors jump_key (dummy, filtered out in the reduce)
+            # so the shared id columns stay null-free across the concat
+            lambda df: pd.DataFrame(
+                {
+                    "image_id": df["image_id"],
+                    "jump_key": df["image_id"],
+                    "_lab": df["cluster_id"],
+                }
+            ),
             batch_format="pandas",
+        )
+
+        def jump(part: pd.DataFrame) -> pd.DataFrame:
+            if "_lab" not in part.columns:
+                return part.iloc[0:0]
+            is_lab = part["_lab"].notna()
+            bmap = pd.DataFrame(
+                {
+                    "jump_key": part.loc[is_lab, "jump_key"],
+                    "cluster_id": part.loc[is_lab, "_lab"],
+                }
+            ).drop_duplicates("jump_key")
+            pr = part.loc[~is_lab, ["image_id", "jump_key"]]
+            m = pr.merge(bmap, on="jump_key", how="left")
+            return _cast_ids(
+                pd.DataFrame({"image_id": m["image_id"], "cluster_id": m["cluster_id"]})
+            )
+
+        new_labels = hash_partition_apply(
+            probe.union(build), n_parts, jump, key_fn=_key_on("jump_key"),
+            empty_like=_mt("image_id", "cluster_id"),
+        ).materialize()
+
+        # convergence: any label changed this round? (one more co-partition)
+        old = labels.map_batches(
+            lambda df: pd.DataFrame({"image_id": df["image_id"], "_lab": df["cluster_id"]}),
+            batch_format="pandas",
+        )
+
+        def count_changed(part: pd.DataFrame) -> pd.DataFrame:
+            if "_lab" not in part.columns or "cluster_id" not in part.columns:
+                return pd.DataFrame({"c": [0]})
+            is_old = part["cluster_id"].isna()
+            om = pd.DataFrame(
+                {"image_id": part.loc[is_old, "image_id"], "old": part.loc[is_old, "_lab"]}
+            )
+            nw = part.loc[~is_old, ["image_id", "cluster_id"]]
+            m = nw.merge(om, on="image_id", how="left")
+            return pd.DataFrame({"c": [int((m["old"] != m["cluster_id"]).sum())]})
+
+        changed = hash_partition_apply(
+            new_labels.union(old),
+            n_parts,
+            count_changed,
+            key_fn=_key_on("image_id"),
+            empty_like=pd.DataFrame({"c": pd.Series([], dtype=np.int64)}),
         ).sum("c")
         labels = new_labels
         if not changed:

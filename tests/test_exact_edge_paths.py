@@ -1,0 +1,47 @@
+"""Exact-dup edges must never require a driver collect: the loser anti-join
+scale path and the distributed-CC exact-edge union must equal the default
+(bounded-broadcast / driver-CC) paths on an exact-dup-carrying corpus."""
+
+import ray.data as rd
+
+from bibexpy_ray import synth
+from bibexpy_ray.config import DedupConfig
+from bibexpy_ray.pipelines import dedup_images as di
+
+N_ROWS = 192  # 16 cohorts — carries exact-dup cohorts
+
+
+def _cluster_sets(result):
+    out = {}
+    for m, c in result.cluster_map.items():
+        out.setdefault(c, set()).add(m)
+    return {frozenset(v) for v in out.values()}
+
+
+def _run(monkeypatch, **attrs):
+    table = synth.CorpusGen(42).rows(range(N_ROWS))
+    ds = rd.from_arrow(table)
+    for k, v in attrs.items():
+        monkeypatch.setattr(di, k, v)
+    return di.dedup_images(ds, DedupConfig())
+
+
+def test_loser_antijoin_matches_broadcast(monkeypatch):
+    base = _run(monkeypatch)
+    assert base.metrics["exact_edges"] > 0  # the path under test is exercised
+    anti = _run(monkeypatch, LOSER_BROADCAST_LIMIT=0)  # force the anti-join
+    assert anti.metrics["exact_edges"] == base.metrics["exact_edges"]
+    assert _cluster_sets(anti) == _cluster_sets(base)
+    assert sorted(
+        map(tuple, anti.borderline[["id_a", "id_b"]].to_numpy())
+    ) == sorted(map(tuple, base.borderline[["id_a", "id_b"]].to_numpy()))
+
+
+def test_distributed_cc_unions_exact_edge_dataset(monkeypatch):
+    base = _run(monkeypatch)
+    assert base.metrics["exact_edges"] > 0
+    # force BOTH scale paths at once: exact losers anti-join AND the
+    # distributed min-label CC fed by the exact-edge Dataset union
+    dist = _run(monkeypatch, LOSER_BROADCAST_LIMIT=0, DRIVER_EDGE_LIMIT=0)
+    assert _cluster_sets(dist) == _cluster_sets(base)
+    assert dist.metrics["clusters"] == base.metrics["clusters"]
