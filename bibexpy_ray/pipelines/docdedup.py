@@ -564,6 +564,8 @@ def _verify_jaccard(
 #: LSH + verify stages run ONCE and both queries share the result. Keyed by
 #: (resolved path, documents mtime) so fixture rewrites invalidate.
 _char5_pairs_memo: dict[tuple, pd.DataFrame] = {}
+#: scale-path sibling: materialized (doc_id, cluster_id) assignment Dataset
+_assign_ds_memo: dict[tuple, "rd.Dataset"] = {}
 
 
 def _char5_memo_key(sf_dir: str, tau: float) -> tuple:
@@ -638,6 +640,9 @@ def _cluster_assignments(sf_dir: str, tau: float) -> rd.Dataset:
 
     docs = read_table(sf_dir, "documents", ["doc_id"])
     key = _char5_memo_key(sf_dir, tau)
+    hit = _assign_ds_memo.get(key)
+    if hit is not None:
+        return hit  # scale-path result shared across minhash/neardup_dedup
     verified = _char5_pairs_memo.get(key)
     if verified is None:
         vds = _char5_verified_ds(sf_dir, tau)
@@ -685,9 +690,15 @@ def _cluster_assignments(sf_dir: str, tau: float) -> rd.Dataset:
             empty = pd.DataFrame(
                 {c: pd.Series([], dtype=np.int64) for c in ("doc_id", "cluster_id")}
             )
-            return hash_partition_apply(
+            out = hash_partition_apply(
                 docs.union(labels), n_parts, fill, key_fn=by_doc, empty_like=empty
-            )
+            ).materialize()
+            # memoize the MATERIALIZED assignment so minhash_clusters and
+            # neardup_dedup share one LSH+verify+CC execution on the scale
+            # path too (the driver path shares via _char5_pairs_memo)
+            _assign_ds_memo.clear()
+            _assign_ds_memo[key] = out
+            return out
         # collect from the ALREADY-materialized pair Dataset (gate-bounded);
         # memoizes so neardup_pairs_char5/neardup_dedup share the stage
         verified = _collect_char5_pairs(vds, key)

@@ -541,7 +541,7 @@ def value_buckets(sf_dir: str) -> pd.DataFrame:
 DIM_BROADCAST_LIMIT = 5_000_000
 
 
-def _copartition_dim(partials_ds, dim_ds, key_col: str, dim_cols: list[str], reduce_fn, n_parts: int = 32):
+def _copartition_dim(partials_ds, dim_ds, key_col: str, dim_cols: list[str], reduce_fn, n_parts: int = 32, empty_like: pd.DataFrame | None = None):
     """Co-partition (key, partial-agg) rows with dim rows on ``key_col`` and
     apply ``reduce_fn`` per partition. Dim rows are marked by their extra
     columns (null on partial rows after schema promotion)."""
@@ -558,7 +558,8 @@ def _copartition_dim(partials_ds, dim_ds, key_col: str, dim_cols: list[str], red
         return (hashing.splitmix64(k) % np.uint64(n_parts)).astype(np.int32)
 
     return hash_partition_apply(
-        partials_ds.union(marked), n_parts, reduce_fn, key_fn=key_fn
+        partials_ds.union(marked), n_parts, reduce_fn, key_fn=key_fn,
+        empty_like=empty_like,
     )
 
 
@@ -613,10 +614,22 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
         def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
             nn = ray.get(nat_ref)
-            is_dim = part.get("_dim")
-            is_dim = is_dim.notna() if is_dim is not None else pd.Series(False, index=part.index)
+            empty = pd.DataFrame(
+                {
+                    "n_name": pd.Series([], dtype=object),
+                    "revenue_cents": pd.Series([], dtype=np.int64),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+            # one-sided partitions (dim rows only — custkeys with no orders —
+            # or fact columns only on an empty reduce) produce no joined rows
+            if "_dim" not in part.columns or "revenue_cents" not in part.columns:
+                return empty
+            is_dim = part["_dim"].notna()
             dim = part.loc[is_dim, ["c_custkey", "c_nationkey"]]
             probe = part.loc[~is_dim, ["c_custkey", "revenue_cents", "n_orders"]]
+            if len(dim) == 0 or len(probe) == 0:
+                return empty
             m = probe.merge(dim, on="c_custkey", how="inner")
             m["n_name"] = m["c_nationkey"].astype(np.int64).map(nn)
             # schema promotion floats the measure columns (nulls on dim
@@ -633,6 +646,7 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
             "c_custkey",
             ["c_nationkey"],
             reduce_part,
+            empty_like=reduce_part(pd.DataFrame()),
         ).to_pandas()
 
     return (
@@ -682,10 +696,20 @@ def brand_revenue(sf_dir: str) -> pd.DataFrame:
             )
 
         def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
-            is_dim = part.get("_dim")
-            is_dim = is_dim.notna() if is_dim is not None else pd.Series(False, index=part.index)
+            empty = pd.DataFrame(
+                {
+                    "p_brand": pd.Series([], dtype=object),
+                    "revenue_cents_x100": pd.Series([], dtype=np.int64),
+                    "n_items": pd.Series([], dtype=np.int64),
+                }
+            )
+            if "_dim" not in part.columns or "revenue_cents_x100" not in part.columns:
+                return empty  # one-sided partition: no joined rows
+            is_dim = part["_dim"].notna()
             dim = part.loc[is_dim, ["p_partkey", "p_brand"]]
             probe = part.loc[~is_dim, ["p_partkey", "revenue_cents_x100", "n_items"]]
+            if len(dim) == 0 or len(probe) == 0:
+                return empty
             m = probe.merge(dim, on="p_partkey", how="inner")
             m["revenue_cents_x100"] = m["revenue_cents_x100"].astype(np.int64)
             m["n_items"] = m["n_items"].astype(np.int64)
@@ -699,6 +723,7 @@ def brand_revenue(sf_dir: str) -> pd.DataFrame:
             "p_partkey",
             ["p_brand"],
             reduce_part,
+            empty_like=reduce_part(pd.DataFrame()),
         ).to_pandas()
 
     return (
@@ -1136,10 +1161,16 @@ def top_orders_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
             return out.groupby("c_custkey", as_index=False).head(k)
 
         def nation_partial(part: pd.DataFrame) -> pd.DataFrame:
-            is_dim = part.get("_dim")
-            is_dim = is_dim.notna() if is_dim is not None else pd.Series(False, index=part.index)
+            empty = pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in ("nation", "o_orderkey", "cents")}
+            )
+            if "_dim" not in part.columns or "o_orderkey" not in part.columns:
+                return empty  # one-sided partition: no joined rows
+            is_dim = part["_dim"].notna()
             dim = part.loc[is_dim, ["c_custkey", "c_nationkey"]]
             probe = part.loc[~is_dim, ["c_custkey", "o_orderkey", "cents"]]
+            if len(dim) == 0 or len(probe) == 0:
+                return empty
             m = probe.merge(dim, on="c_custkey", how="inner")
             m = pd.DataFrame(
                 {
@@ -1160,6 +1191,7 @@ def top_orders_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
             "c_custkey",
             ["c_nationkey"],
             nation_partial,
+            empty_like=nation_partial(pd.DataFrame()),
         ).to_pandas()
         out = final_topk(partials)
 

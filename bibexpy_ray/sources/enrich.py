@@ -336,6 +336,68 @@ def stub_sources_factory() -> "list[tuple[str, SourceFn]]":
     return [("Primary", primary), ("Secondary", secondary)]
 
 
+def parity_sources_factory() -> "list[tuple[str, SourceFn]]":
+    """Deterministic chain used by the oracle-checked ``enrich_chain`` query:
+    Primary fills LA='en' for EVEN integer keys only (returns no data for
+    odd — the priority-fallthrough case); Secondary always offers LA='xx'
+    and PU='house'. Pure functions of the key, so a SQL CASE expression can
+    reproduce the fill + provenance bit-exactly."""
+
+    def primary(key: str) -> dict:
+        return {"LA": "en"} if int(key) % 2 == 0 else {}
+
+    def secondary(key: str) -> dict:
+        return {"LA": "xx", "PU": "house"}
+
+    return [("Primary", primary), ("Secondary", secondary)]
+
+
+def enrich_chain_documents(sf_dir: str):
+    """Query surface for the multi-source chain: documents' ``lang`` maps to
+    the WoS LA field; PU is always absent so every keyed row enriches. The
+    result (la, pu, api_sources) is a pure function of (doc_id, lang) —
+    verified value-exact against a DuckDB CASE oracle."""
+    import pyarrow.compute as pc
+    import ray.data as rd  # noqa: F401
+
+    from bibexpy_ray.pipelines.tables import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def adapt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "LA": t.column("lang").cast(pa.string()),
+            }
+        )
+
+    enriched = ds.map_batches(adapt, batch_format="pyarrow").map_batches(
+        MultiSourceEnrichStage,
+        fn_constructor_kwargs={
+            "sources_factory": parity_sources_factory,
+            "key_col": "doc_id",
+            "fillable": ("LA", "PU"),
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "la": t.column("LA"),
+                "pu": t.column("PU"),
+                "api_sources": t.column("API_Sources"),
+            }
+        )
+
+    out = enriched.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def stub_candidate_factory() -> CandidateFn:
     """Deterministic OFFLINE candidate source (this sandbox has no network):
     resolves every title to an id derived from its first token, echoing the
@@ -378,7 +440,13 @@ def truncate_url_list(url_list: str, max_length: int = URL_FIELD_MAX) -> str:
     """'; '-separated URL list truncated to the cell limit, ending in '...'
     when anything was dropped (reference truncate_url_list semantics:
     accumulate whole URLs while the running length stays within
-    ``max_length - 3``, then append the ellipsis marker)."""
+    ``max_length - 3``, then append the ellipsis marker).
+
+    Bit-parity note: like the reference, the appended '; ...' separator can
+    land the result up to 2 characters OVER ``max_length`` when the last
+    accepted URL ends exactly at the ``max_length - 3`` boundary — kept 1:1
+    deliberately (fidelity to xlsx2vos/api_utils output beats the 2-char
+    nominal cap)."""
     if not url_list or len(url_list) <= max_length:
         return url_list
     urls = url_list.split("; ")
@@ -554,9 +622,12 @@ class MultiSourceEnrichStage:
         )
         arrays = {}
         for c in cols:
-            if c in names:
+            if c in names and c not in self.fillable:
                 arrays[c] = pa.array([r.get(c) for r in out_rows])
-            else:  # chain-added fields surface as nullable strings
+            else:
+                # every fillable/chain-added field surfaces as a nullable
+                # string column — a string fill into a numeric input column
+                # must not mix types inside one array
                 arrays[c] = pa.array(
                     [None if is_blank(r.get(c)) else str(r.get(c)) for r in out_rows],
                     type=pa.string(),

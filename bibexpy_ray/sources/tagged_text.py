@@ -127,13 +127,14 @@ WOS_FOOTER = "EF\n"
 
 
 def _wos_value(row: Any, tag: str, column_map: dict[str, str]) -> str:
+    def _missing(v: Any) -> bool:
+        return v is None or (isinstance(v, float) and v != v)  # None or NaN
+
     col = column_map.get(tag, tag)
     v = row.get(col)
-    if v is None and col != tag:
-        v = row.get(tag)  # fall back to the tag-named column
-    if v is None or (isinstance(v, float) and v != v):
-        return ""
-    return str(v)
+    if _missing(v) and col != tag:
+        v = row.get(tag)  # fall back to the tag-named column (NaN too)
+    return "" if _missing(v) else str(v)
 
 
 def wos_c1_lines(af: str, c1: str) -> list[str]:
@@ -223,7 +224,12 @@ def parse_wos_records(text: str) -> list[dict[str, Any]]:
     verification: FN/VR dropped, three-space continuations fold into the
     previous tag, AU/AF/CR groups join with ';', all other tags join with a
     space; C1 keeps the raw ``[author] address`` text in ``C1raw`` and a
-    bracket-stripped form in ``C1``."""
+    bracket-stripped form in ``C1``.
+
+    Bit-parity note: like the reference, lines whose stripped content is a
+    single character are dropped (``len(line.strip()) > 1``) — a
+    one-character continuation item (e.g. a CR entry 'X') is lost in
+    round-trip exactly as isi2df would lose it. Kept 1:1 deliberately."""
     import re as _re
 
     lines = [ln for ln in text.splitlines() if len(ln.strip()) > 1]

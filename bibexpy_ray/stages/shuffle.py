@@ -126,7 +126,7 @@ def hash_partition_apply(
         return rd.from_arrow_refs(reduced)
     gens = [
         _reduce_split_task.remote(
-            fn_ref, part_col, rows_per_block, empty_ref, *[s[i] for s in splits]
+            fn_ref, part_col, rows_per_block, empty_ref, arrow, *[s[i] for s in splits]
         )
         for i in range(P)
     ]
@@ -182,6 +182,8 @@ def _reduce_impl(fn, part_col, parts, empty_like=None, arrow=False) -> pa.Table:
     )
     if tbl.num_columns == 0:
         # all inputs were schema-less empties (upstream UDF never ran)
+        if isinstance(empty_like, pa.Table):
+            return empty_like  # exact Arrow schema (large_string etc.)
         if empty_like is not None:
             return pa.Table.from_pandas(empty_like, preserve_index=False)
         return tbl
@@ -202,14 +204,19 @@ def _reduce_task(fn, part_col, empty_like, arrow, *parts: pa.Table) -> pa.Table:
 
 
 @ray.remote(num_returns="dynamic")
-def _reduce_split_task(fn, part_col, rows_per_block, empty_like, *parts: pa.Table):
-    out = _reduce_impl(fn, part_col, parts, empty_like)
+def _reduce_split_task(fn, part_col, rows_per_block, empty_like, arrow, *parts: pa.Table):
+    out = _reduce_impl(fn, part_col, parts, empty_like, arrow)
     if out.num_rows <= rows_per_block:
         yield out
         return
     for lo in range(0, out.num_rows, rows_per_block):
-        # from_pandas hop compacts each slice's buffers so serialized
-        # blocks don't drag the whole partition's arrays along
-        yield pa.Table.from_pandas(
-            out.slice(lo, rows_per_block).to_pandas(), preserve_index=False
-        )
+        # compact each slice's buffers so serialized blocks don't drag the
+        # whole partition's arrays along: pandas hop in the default mode,
+        # identity-take (fresh allocations, Arrow types intact) in arrow mode
+        sl = out.slice(lo, rows_per_block)
+        if arrow:
+            import numpy as np
+
+            yield sl.take(pa.array(np.arange(sl.num_rows, dtype=np.int64)))
+        else:
+            yield pa.Table.from_pandas(sl.to_pandas(), preserve_index=False)

@@ -13,15 +13,23 @@ from bibexpy_ray.pipelines import docdedup as dd
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_cluster_assignments_distributed_matches_driver(monkeypatch, ray_session):
+def _clear_memos():
     dd._char5_pairs_memo.clear()
+    dd._assign_ds_memo.clear()
+
+
+def test_cluster_assignments_distributed_matches_driver(monkeypatch, ray_session):
+    _clear_memos()
     base = dd.minhash_clusters(SF_DIR)
     base_dedup = dd.neardup_dedup(SF_DIR)
-    dd._char5_pairs_memo.clear()
+    _clear_memos()
     monkeypatch.setattr(uf, "DRIVER_EDGE_LIMIT", 0)  # force distributed CC
     dist = dd.minhash_clusters(SF_DIR)
+    # the scale path memoizes its materialized assignment: the second query
+    # must reuse it rather than re-run LSH+verify+CC
+    assert len(dd._assign_ds_memo) == 1
     dist_dedup = dd.neardup_dedup(SF_DIR)
-    dd._char5_pairs_memo.clear()
+    _clear_memos()
     pd.testing.assert_frame_equal(base, dist)
     pd.testing.assert_frame_equal(base_dedup, dist_dedup)
     assert len(base) > 0 and (base["cluster_id"] != base["doc_id"]).any()

@@ -107,3 +107,39 @@ def test_hash_partition_apply_zero_block_input_keeps_output_schema(ray_session):
     out2 = hash_partition_apply(src2, 4, reduce_fn)
     assert out2.schema().names == ["id_a", "id_b", "dropped"]
     assert out2.count() == 0
+
+
+def test_hash_partition_apply_arrow_mode_preserves_types(ray_session):
+    """arrow=True reduces must keep uint64 / fixed-size-list columns exact —
+    no pandas hop, on both the plain and the rows_per_block paths."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    n = 100
+    # values above 2^53: a pandas float64 hop would corrupt them
+    big = np.arange(n, dtype=np.uint64) + np.uint64(1 << 60)
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.arange(n * 4, dtype=np.int32)), 4
+    )
+    src = rd.from_arrow(pa.table({"u": pa.array(big, type=pa.uint64()), "sig": fsl}))
+
+    def key(t: pa.Table) -> np.ndarray:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (u % np.uint64(4)).astype(np.int32)
+
+    def ident(t: pa.Table) -> pa.Table:
+        assert isinstance(t, pa.Table)  # arrow mode contract
+        return t
+
+    for rpb in (None, 16):
+        out = hash_partition_apply(src, 4, ident, key_fn=key, arrow=True,
+                                   rows_per_block=rpb)
+        tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+        assert tbl.schema.field("u").type == pa.uint64()
+        assert pa.types.is_fixed_size_list(tbl.schema.field("sig").type)
+        got = np.sort(tbl.column("u").to_numpy(zero_copy_only=False).astype(np.uint64))
+        assert (got == big).all()  # bit-exact above 2^53
