@@ -951,7 +951,14 @@ def dedup_images(
         from bibexpy_ray.functions import hashing as _hashing
         from bibexpy_ray.stages.shuffle import hash_partition_apply as _hpa
 
-        n_parts = max(8, n_reps // 500_000)
+        # partition count scales with BOTH data and cluster so no reduce
+        # holds more than ~250k feature rows; reduce outputs re-split into
+        # bounded blocks (rows_per_block) — without the split the verify
+        # actor pool's parallelism collapses to n_parts giant blocks
+        # (measured at 5M rows: 2 of 7 actors busy, straggler-bound)
+        cpus_now = int(ray.cluster_resources().get("CPU", 4))
+        n_parts = max(8, cpus_now * 2, n_reps // 250_000)
+        VERIFY_ROWS_PER_BLOCK = 100_000
 
         def feat_side(key: str, suffix: str):
             other = "id_b" if key == "id_a" else "id_a"
@@ -1045,6 +1052,7 @@ def dedup_images(
             attach("id_b", "_b", pass_b_cols),
             key_fn=key_on("id_b"),
             arrow=True,
+            rows_per_block=VERIFY_ROWS_PER_BLOCK,
             empty_like=_verify_empty(
                 pass_b_cols + [c + "_b" for c in feat_cols if c != "_uid"]
             ),
