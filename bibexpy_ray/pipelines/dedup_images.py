@@ -1093,15 +1093,18 @@ def dedup_images(
     _lap("s_verify_split")
 
     # ---- connected components ----------------------------------------------
-    # cap gate bounds the AUTO edge set by n_verified (auto ⊆ verified, and
-    # verified is materialized so the count is metadata-free). Gating on the
-    # exact auto count would need one more executor pass over the filter —
-    # a fixed per-job cost at every scale — to at best defer the distributed
-    # path by the borderline fraction (~2x), vs the ~10x the old
-    # candidate-count gate wasted. (Every non-borderline stage carries
+    # cap gate counts the AUTO edges — the set CC actually consumes. The
+    # count is one vectorized filter pass over the MATERIALIZED verified
+    # table (no shuffle); gating on n_verified instead looked free but a 2M-row
+    # scaling run measured borderline at 4x the auto count, tripping the
+    # distributed path (150 s at 8 CPUs) for a 1.36M-edge job the driver
+    # Arrow CC clears in seconds. (Every non-borderline stage carries
     # confidence >= 0.9: 1-4 = 1.0/.99/.95/.90.)
     n_verified = int(verified.count())
-    if n_verified + n_exact > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
+    n_auto_edges = int(auto_edges_ds.count())
+    metrics["verified_auto"] = n_auto_edges
+    metrics["borderline"] = n_verified - n_auto_edges
+    if n_auto_edges + n_exact > DRIVER_EDGE_LIMIT:  # pragma: no cover - scale path
         # distributed min-label propagation straight over the edge DATASET
         # (union with the exact pre-collapse edge DATASET — the exact edges
         # never transit the driver on this path); equivalence with the
@@ -1116,9 +1119,6 @@ def dedup_images(
         # cluster count is read off the survivor table below (one row per
         # cluster, already materialized) — a groupby here purely for the
         # metric would cost an extra full shuffle
-        n_auto_edges = int(auto_edges_ds.count())
-        metrics["verified_auto"] = n_auto_edges
-        metrics["borderline"] = n_verified - n_auto_edges
     else:
         # ids-only collect (bounded by the dup rate, ~16 B + id chars per
         # edge), then vectorized driver connected components — the
@@ -1135,7 +1135,6 @@ def dedup_images(
             for b in ray.get(auto_edges_ds.to_arrow_refs())
         ]
         auto_tbl = pa.concat_tables(blocks, promote_options="default")
-        n_auto = auto_tbl.num_rows
         if "id_a" not in auto_tbl.schema.names:
             # every block was a schema-less zero-row passthrough
             auto_tbl = pa.table(
@@ -1166,8 +1165,6 @@ def dedup_images(
         labels = ClusterLabels(members=members, canon_codes=lab_codes)
         _lap("s_uf_labels")
         metrics["clusters"] = n_clusters
-        metrics["verified_auto"] = int(n_auto)
-        metrics["borderline"] = n_verified - n_auto
     _lap("s_unionfind")
 
     # ---- survivor selection -------------------------------------------------

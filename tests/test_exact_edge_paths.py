@@ -45,3 +45,21 @@ def test_distributed_cc_unions_exact_edge_dataset(monkeypatch):
     dist = _run(monkeypatch, LOSER_BROADCAST_LIMIT=0, DRIVER_EDGE_LIMIT=0)
     assert _cluster_sets(dist) == _cluster_sets(base)
     assert dist.metrics["clusters"] == base.metrics["clusters"]
+
+
+def test_cc_gate_counts_auto_edges_not_all_verified(monkeypatch):
+    """The DRIVER_EDGE_LIMIT gate must count the edges CC consumes (auto +
+    exact), NOT the whole verified table — borderline rows never enter CC.
+    A 2M-row scaling run measured borderline at 4x the auto count; gating on
+    n_verified routed a driver-sized job to the distributed path (150 s at
+    8 CPUs for a seconds-sized CC). Limit is set between (auto + exact) and
+    (verified + exact): the driver path must run (s_uf_collect lap present)."""
+    base = _run(monkeypatch)
+    n_auto = base.metrics["verified_auto"]
+    n_exact = base.metrics["exact_edges"]
+    n_verified = n_auto + base.metrics["borderline"]
+    assert n_verified > n_auto  # corpus carries borderline rows
+    limit = n_auto + n_exact + (n_verified - n_auto) // 2
+    gated = _run(monkeypatch, DRIVER_EDGE_LIMIT=limit)
+    assert "s_uf_collect" in gated.metrics  # driver-CC branch, not distributed
+    assert _cluster_sets(gated) == _cluster_sets(base)
