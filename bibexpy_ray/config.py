@@ -74,6 +74,10 @@ class DedupConfig:
     seed: int = 42
     signer_batch_size: int = 4096
     signer_concurrency: int | None = None  # None -> let Ray size the pool
+    # path-input runs checkpoint the signature stage per input-file group
+    # (RunDir.materialize_partitioned); one part per group of
+    # ceil(n_files / feature_checkpoint_parts) files
+    feature_checkpoint_parts: int = 16
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perms:

@@ -529,13 +529,19 @@ def compute_features(ds: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
 
 
 def dedup_images(
-    ds: rd.Dataset,
+    ds: "rd.Dataset | str",
     cfg: DedupConfig | None = None,
     run_dir: Optional[str] = None,
     survivor_rank_fn=None,
 ) -> DedupResult:
     """Run the full near-duplicate pipeline. ``ds`` must have IMAGE_SCHEMA columns
     (bytes optional — never read here). Returns cluster assignments + side outputs.
+
+    ``ds`` may be the corpus PATH instead of a Dataset: with a ``run_dir``
+    the signature stage then checkpoints per input-file group
+    (``RunDir.materialize_partitioned`` — partition lineage in each part's
+    ``_DONE``), so a restarted run recomputes only the unfinished partitions
+    of the stage rather than the whole stage.
 
     ``survivor_rank_fn`` is the survivor-policy extension point (SURVEY
     §2.14): ``part -> pd.DataFrame`` of rank columns, lower-first, as in
@@ -545,6 +551,10 @@ def dedup_images(
     """
     import time as _time
 
+    corpus_path = None
+    if isinstance(ds, str):
+        corpus_path = ds
+        ds = read_corpus(ds)
     cfg = cfg or DedupConfig()
     rdir = RunDir(run_dir, config={"cfg": str(cfg)}) if run_dir else None
     metrics: dict = {}
@@ -589,7 +599,24 @@ def dedup_images(
             return factory()
         return rdir.materialize(name, factory)
 
-    features = checkpoint("features", lambda: compute_features(ds, cfg))
+    if rdir is not None and corpus_path is not None:
+        # per-partition feature checkpoints: one part per input-file group,
+        # lineage (the file list) recorded in each part's _DONE
+        files = sorted(ds.input_files())
+        n_groups = max(1, min(len(files), cfg.feature_checkpoint_parts))
+        groups = [
+            (f"{i:05d}", files[i::n_groups]) for i in range(n_groups)
+        ]
+        read_cols = [c for c in FEATURE_INPUT_COLS if c in ds.schema().names]
+        features = rdir.materialize_partitioned(
+            "features",
+            groups,
+            lambda fs: compute_features(
+                rd.read_parquet(fs, columns=read_cols), cfg
+            ),
+        )
+    else:
+        features = checkpoint("features", lambda: compute_features(ds, cfg))
     # Pin the feature table (ids + signatures, bytes excluded — bounded at
     # ~1.1 KB/row) in the object store: five downstream consumers read it, and
     # without pinning each one would either re-run the signature stage (no

@@ -283,6 +283,39 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
     def _mt(*cols: str) -> pd.DataFrame:
         return pd.DataFrame({c: pd.Series([], dtype=_idt) for c in cols})
 
+    # per-partition pre-contraction: local connected components inside each
+    # hash partition replace its edge subset by a star forest (canonical ->
+    # member, <= V_part edges vs E_part) — connectivity-preserving, and it
+    # star-shapes every locally-visible component so the global min-label
+    # rounds start closer to the fixpoint with less data per round. Ids seen
+    # only in self-edges keep a self-edge so they still surface as singleton
+    # labels (the un-contracted path labels them too).
+    def contract(part: pd.DataFrame) -> pd.DataFrame:
+        a = part["id_a"].to_numpy()
+        b = part["id_b"].to_numpy()
+        if id_is_int:
+            mem, canon = clusters_driver_ints(a, b)
+        else:
+            mem, canon = clusters_driver_arrays(a, b)
+        all_ids = pd.unique(np.concatenate([a, b]))
+        # self-edge-only endpoints (hash-based isin: object-dtype setdiff1d
+        # would sort with Python-level compares)
+        lone = all_ids[~pd.Series(all_ids).isin(mem).to_numpy()]
+        keep = mem != canon
+        return _cast_ids(
+            pd.DataFrame(
+                {
+                    "id_a": np.concatenate([canon[keep], lone]),
+                    "id_b": np.concatenate([mem[keep], lone]),
+                }
+            )
+        )
+
+    edges = hash_partition_apply(
+        edges, n_parts, contract, key_fn=_key_on("id_a"),
+        empty_like=_mt("id_a", "id_b"),
+    ).materialize()
+
     labels = hash_partition_apply(
         edges.map_batches(init_labels, batch_format="pandas"),
         n_parts,

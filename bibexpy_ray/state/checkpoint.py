@@ -9,6 +9,8 @@ converter.py:103-111): each pipeline run owns a directory
       metrics.jsonl              one record per completed stage (counts, seconds)
       stage=<name>/ ...parquet   materialized stage output
       stage=<name>/_DONE         atomic completion marker
+      stage=<name>/part-<key>/   per-partition output + _DONE lineage record
+                                 (``materialize_partitioned`` stages only)
 
 ``RunDir.materialize`` is the resume primitive: if a stage's ``_DONE`` marker
 exists the parquet is read back and the compute closure never runs — a
@@ -104,3 +106,70 @@ class RunDir:
             return []
         with open(p) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    def materialize_partitioned(
+        self,
+        name: str,
+        partitions: list[tuple[str, list[str]]],
+        compute_part: Callable[[list[str]], "rd.Dataset"],
+    ) -> "rd.Dataset":
+        """Partition-granular checkpoint for embarrassingly-parallel stages.
+
+        ``partitions`` is ``[(key, inputs)]`` — ``key`` names the partition
+        (filesystem-safe, stable across restarts) and ``inputs`` is its
+        lineage (the input files it derives from). Each partition writes
+
+            stage=<name>/part-<key>/ ...parquet
+            stage=<name>/part-<key>/_DONE   {"inputs": [...], "rows": n,
+                                             "seconds": s}
+
+        via a temp-dir rename (the ``_DONE`` lineage record rides inside the
+        renamed dir, so a partition is visible-complete atomically). A
+        restarted run recomputes ONLY partitions missing their marker — at
+        100 TB a stage is hours of work and stage-granular resume would
+        discard all of it on a mid-stage crash. Each partition's compute is
+        itself a parallel Ray Data job (parallel across its row groups), so
+        the driver-side loop costs scheduling only.
+
+        Directory names use ``part-<key>`` (no ``=``) so parquet dataset
+        discovery never hive-infers a partition column.
+        """
+        sdir = self.stage_dir(name)
+        if self.is_done(name):
+            return rd.read_parquet(sdir)
+        os.makedirs(sdir, exist_ok=True)
+        t0 = time.time()
+        resumed = 0
+        total_rows = 0
+        for key, inputs in partitions:
+            pdir = os.path.join(sdir, f"part-{key}")
+            marker = os.path.join(pdir, "_DONE")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    total_rows += json.load(f).get("rows", 0)
+                resumed += 1
+                continue
+            pt0 = time.time()
+            pds = compute_part(inputs)
+            tmp = pdir + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp, exist_ok=True)
+            pds.write_parquet(tmp)
+            rows = rd.read_parquet(tmp).count()  # parquet metadata count
+            with open(os.path.join(tmp, "_DONE"), "w") as f:
+                json.dump(
+                    {"inputs": inputs, "rows": rows,
+                     "seconds": round(time.time() - pt0, 3)},
+                    f,
+                )
+            if os.path.exists(pdir):
+                shutil.rmtree(pdir)
+            os.replace(tmp, pdir)
+            total_rows += rows
+        self.mark_done(
+            name,
+            {"seconds": round(time.time() - t0, 3), "rows": total_rows,
+             "partitions": len(partitions), "resumed_partitions": resumed},
+        )
+        return rd.read_parquet(sdir)
