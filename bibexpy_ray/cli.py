@@ -38,9 +38,15 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     from bibexpy_ray.pipelines.export import save_run
 
     cfg = DedupConfig()
-    # prune at the read: the dedup path never touches image bytes
-    feat_ds = rd.read_parquet(args.input, columns=FEATURE_INPUT_COLS)
-    result = dedup_images(feat_ds, cfg, run_dir=args.checkpoints)
+    if args.checkpoints:
+        # path input + run_dir -> per-partition feature checkpoints with
+        # lineage (RunDir.materialize_partitioned); the partitioned reads
+        # prune to FEATURE_INPUT_COLS themselves
+        result = dedup_images(args.input, cfg, run_dir=args.checkpoints)
+    else:
+        # prune at the read: the dedup path never touches image bytes
+        feat_ds = rd.read_parquet(args.input, columns=FEATURE_INPUT_COLS)
+        result = dedup_images(feat_ds, cfg)
     full_ds = rd.read_parquet(args.input)  # canonical output carries payloads
     manifest = save_run(result, full_ds, args.out)
     print(json.dumps({"metrics": result.metrics, **manifest}))

@@ -22,9 +22,10 @@ def test_cli_synth_and_dedup(tmp_path):
     assert info["rows"] == 120
 
     run_dir = str(tmp_path / "run")
+    ckpt = str(tmp_path / "ckpt")
     out = subprocess.run(
         [sys.executable, "-m", "bibexpy_ray.cli", "dedup", "--input", corpus,
-         "--out", run_dir, "--num-cpus", "2"],
+         "--out", run_dir, "--checkpoints", ckpt, "--num-cpus", "2"],
         capture_output=True, text=True, timeout=300,
         cwd=REPO, env={**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": ""},
     )
@@ -33,6 +34,9 @@ def test_cli_synth_and_dedup(tmp_path):
     assert result["metrics"]["clusters"] == 20  # 10 cohorts x 2 clusters
     assert os.path.exists(os.path.join(run_dir, "manifest.json"))
     assert os.path.exists(os.path.join(run_dir, "exports", "clusters.tsv"))
+    # --checkpoints engages path-mode per-partition feature checkpoints
+    import glob as _glob
+    assert _glob.glob(os.path.join(ckpt, "stage=features", "part-*", "_DONE"))
 
 
 def test_cli_prepare_subcommand(tmp_path):
