@@ -34,6 +34,7 @@ import ray.data as rd
 
 from bibexpy_ray.functions import hashing
 from bibexpy_ray.pipelines.tables import read_table
+from bibexpy_ray.stages.lsh import BucketPairEmitter
 
 BROADCAST_DOC_LIMIT = 2_000_000
 _U64 = np.uint64
@@ -250,7 +251,6 @@ class IntBucketPairEmitter:
     def __call__(self, part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
             return self._empty()
-        part = part.sort_values(["bucket_key", "doc_id"], kind="mergesort")
         keys = part["bucket_key"].to_numpy()
         ids = part["doc_id"].to_numpy(dtype=np.int64)
         vals = (
@@ -262,52 +262,62 @@ class IntBucketPairEmitter:
             sortkey = part["sortkey"].to_numpy(dtype=_U64)
         else:
             sortkey = vals  # signature proximity by the carried value
+        order = np.lexsort((ids, keys))  # np.lexsort beats the pandas sort 3x
+        keys, ids = keys[order], ids[order]
+        if vals is not None:
+            vals = vals[order]
+        if sortkey is not None and sortkey is not vals:
+            sortkey = sortkey[order]
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         ends = np.r_[starts[1:], len(keys)]
         sizes = ends - starts
         out_a, out_b, out_d = [], [], []
         out_va, out_vb = [], []
-        two = starts[sizes == 2]
-        if len(two):
-            out_a.append(ids[two])
-            out_b.append(ids[two + 1])
-            out_d.append(np.zeros(len(two), dtype=np.int64))
+        # size-class vectorization (one triu per distinct bucket size, starts
+        # broadcast against the pair pattern) — mirrors
+        # stages.lsh.BucketPairEmitter; per-bucket numpy calls dominate when
+        # small buckets number in the hundreds of thousands
+        m_cap = int((1 + np.sqrt(1 + 8 * self.cap)) // 2)
+        while m_cap * (m_cap - 1) // 2 > self.cap:
+            m_cap -= 1
+        small = (sizes >= 2) & (sizes <= m_cap)
+        s_starts = starts[small]
+        s_sizes = sizes[small]
+        for m in np.unique(s_sizes):
+            st = s_starts[s_sizes == m]
+            ia, ib = BucketPairEmitter._triu(int(m))
+            idx_a = (st[:, None] + ia[None, :]).ravel()
+            idx_b = (st[:, None] + ib[None, :]).ravel()
+            out_a.append(ids[idx_a])
+            out_b.append(ids[idx_b])
+            out_d.append(np.zeros(len(idx_a), dtype=np.int64))
             if vals is not None:
-                out_va.append(vals[two])
-                out_vb.append(vals[two + 1])
-        for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+                out_va.append(vals[idx_a])
+                out_vb.append(vals[idx_b])
+        for s, e in zip(starts[sizes > m_cap], ends[sizes > m_cap]):
             m = e - s
             n_pairs = m * (m - 1) // 2
-            if n_pairs <= self.cap:
-                ia, ib = np.triu_indices(m, k=1)
-                out_a.append(ids[s:e][ia])
-                out_b.append(ids[s:e][ib])
-                out_d.append(np.zeros(len(ia), dtype=np.int64))
-                if vals is not None:
-                    out_va.append(vals[s:e][ia])
-                    out_vb.append(vals[s:e][ib])
+            # per-band salted proximity order (see class docstring)
+            salt = hashing.splitmix64(ids[s:e].view(_U64) ^ keys[s])
+            if sortkey is not None:
+                order = np.lexsort((salt, sortkey[s:e]))
             else:
-                # per-band salted proximity order (see class docstring)
-                salt = hashing.splitmix64(ids[s:e].view(_U64) ^ keys[s])
-                if sortkey is not None:
-                    order = np.lexsort((salt, sortkey[s:e]))
-                else:
-                    order = np.argsort(salt, kind="stable")
-                seg = ids[s:e][order]
-                w = self.window
-                a = np.concatenate([seg[:-off] for off in range(1, w + 1)])
-                b = np.concatenate([seg[off:] for off in range(1, w + 1)])
-                out_a.append(a)
-                out_b.append(b)
-                out_d.append(np.full(len(a), n_pairs - len(a), dtype=np.int64))
-                if vals is not None:
-                    sv = vals[s:e][order]
-                    out_va.append(
-                        np.concatenate([sv[:-off] for off in range(1, w + 1)])
-                    )
-                    out_vb.append(
-                        np.concatenate([sv[off:] for off in range(1, w + 1)])
-                    )
+                order = np.argsort(salt, kind="stable")
+            seg = ids[s:e][order]
+            w = self.window
+            a = np.concatenate([seg[:-off] for off in range(1, w + 1)])
+            b = np.concatenate([seg[off:] for off in range(1, w + 1)])
+            out_a.append(a)
+            out_b.append(b)
+            out_d.append(np.full(len(a), n_pairs - len(a), dtype=np.int64))
+            if vals is not None:
+                sv = vals[s:e][order]
+                out_va.append(
+                    np.concatenate([sv[:-off] for off in range(1, w + 1)])
+                )
+                out_vb.append(
+                    np.concatenate([sv[off:] for off in range(1, w + 1)])
+                )
         if not out_a:
             return self._empty()
         a = np.concatenate(out_a)

@@ -91,10 +91,14 @@ def image_decode_stats(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(
         DecodeStatsStage,
         batch_format="pyarrow",
-        batch_size=256,  # binary payloads: keep batch bytes bounded
-        # autoscaling pool: a fixed minimum equal to the CPU count starves the
-        # upstream read and deadlocks the streaming executor
-        concurrency=(1, max(2, cpus - 1)),
+        # binary payloads: batch bytes stay bounded (~3 MB at the corpus's
+        # ~6 KB/img; real 100 KB+ images would warrant dropping this back)
+        batch_size=512,
+        # autoscaling pool with a CPU-proportional floor: floor=1 ramps too
+        # slowly (measured 2x the wall at 32 CPUs — actor startup serializes
+        # behind the first batches); floor=cpus starves the upstream read and
+        # deadlocks the streaming executor. Half the CPUs is the sweet spot.
+        concurrency=(max(2, cpus // 2), max(2, cpus - 1)),
     )
 
 
@@ -170,7 +174,9 @@ def image_resize(sf_dir: str, target: int = 16) -> rd.Dataset:
         fn_constructor_kwargs={"target": target},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, max(2, cpus - 1)),
+        # CPU-proportional floor (see image_decode_stats): floor=1 leaves the
+        # pool ramping behind the stream at high CPU counts
+        concurrency=(max(2, cpus // 2), max(2, cpus - 1)),
     )
 
 
@@ -285,7 +291,7 @@ def video_frame_sample(sf_dir: str, every: int = 4) -> rd.Dataset:
         fn_constructor_kwargs={"every": every},
         batch_format="pyarrow",
         batch_size=64,  # payloads are ~12x image bytes — smaller batches
-        concurrency=(1, max(2, cpus - 1)),
+        concurrency=(max(2, cpus // 2), max(2, cpus - 1)),
     )
 
 
@@ -370,7 +376,7 @@ def audio_feature_stats(sf_dir: str) -> rd.Dataset:
         AudioFeatureStage,
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, max(2, cpus - 1)),
+        concurrency=(max(2, cpus // 2), max(2, cpus - 1)),
     )
 
 

@@ -185,10 +185,20 @@ class BucketPairEmitter:
         self.window = window
         self.phash_tol = phash_tol
 
+    _triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    @classmethod
+    def _triu(cls, m: int) -> tuple[np.ndarray, np.ndarray]:
+        got = cls._triu_cache.get(m)
+        if got is None:
+            got = np.triu_indices(m, k=1)
+            if len(cls._triu_cache) < 4096:
+                cls._triu_cache[m] = got
+        return got
+
     def __call__(self, part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
             return _EMPTY_PAIRS.copy()
-        part = part.sort_values(["bucket_key", "uid"], kind="mergesort")
         keys = part["bucket_key"].to_numpy()
         ids = part["uid"].to_numpy(dtype=np.uint64)
         ph = part["phash"].to_numpy()
@@ -197,20 +207,25 @@ class BucketPairEmitter:
             if "kind" in part.columns
             else np.zeros(len(part), dtype=np.int8)
         )
+        order = np.lexsort((ids, keys))
+        keys, ids, ph, kinds = keys[order], ids[order], ph[order], kinds[order]
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         ends = np.r_[starts[1:], len(keys)]
         sizes = ends - starts
         tol = self.phash_tol
+        # largest bucket size whose full cross-product fits under the cap —
+        # everything at or below it is emitted via the size-class path
+        m_cap = int((1 + np.sqrt(1 + 8 * self.cap)) // 2)
+        while m_cap * (m_cap - 1) // 2 > self.cap:
+            m_cap -= 1
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
 
-        def gated(a, b, pha, phb, is_phash, d):
+        def hamming_keep(a, b, pha, phb, d):
             # inline full-Hamming gate for pHash-band pairs: the 16-bit band
             # space saturates above ~65k rows, so random same-band collisions
             # must die here, before the pair shuffle (see KIND_PHASH note)
-            if not is_phash:
-                return a, b, d
             keep = (
                 hashing.hamming64(
                     pha.astype(np.int64).view(np.uint64),
@@ -220,41 +235,50 @@ class BucketPairEmitter:
             )
             return a[keep], b[keep], d[keep]
 
-        # size-2 buckets: the overwhelming majority — one vectorized emit;
-        # gate only the phash-kind subset, others pass through untouched
-        two = starts[sizes == 2]
-        if len(two):
-            is_ph = kinds[two] == KIND_PHASH
-            keep = np.ones(len(two), dtype=bool)
-            if is_ph.any():
-                ham = hashing.hamming64(
-                    ph[two][is_ph].astype(np.int64).view(np.uint64),
-                    ph[two + 1][is_ph].astype(np.int64).view(np.uint64),
+        # size-class vectorization: ONE triu per distinct bucket size (a few
+        # dozen values), broadcasting bucket starts against the pair pattern —
+        # a per-bucket loop pays ~40 us of numpy call overhead per bucket,
+        # which dominates the stage when small (3-10 row) buckets number in
+        # the hundreds of thousands. Size-2 falls out as the m=2 class.
+        small = (sizes >= 2) & (sizes <= m_cap)
+        s_starts = starts[small]
+        s_sizes = sizes[small]
+        for m in np.unique(s_sizes):
+            st = s_starts[s_sizes == m]
+            ia, ib = self._triu(int(m))
+            idx_a = (st[:, None] + ia[None, :]).ravel()
+            idx_b = (st[:, None] + ib[None, :]).ravel()
+            a, b = ids[idx_a], ids[idx_b]
+            d = np.zeros(len(idx_a), dtype=np.int64)
+            gate = np.repeat(kinds[st] == KIND_PHASH, len(ia))
+            if gate.any():
+                ga, gb, gd = hamming_keep(
+                    a[gate], b[gate], ph[idx_a[gate]], ph[idx_b[gate]], d[gate]
                 )
-                keep[np.flatnonzero(is_ph)[ham > tol]] = False
-            out_a.append(ids[two][keep])
-            out_b.append(ids[two + 1][keep])
-            out_d.append(np.zeros(int(keep.sum()), dtype=np.int64))
-        for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+                ng = ~gate
+                a = np.concatenate([a[ng], ga])
+                b = np.concatenate([b[ng], gb])
+                d = np.concatenate([d[ng], gd])
+            out_a.append(a)
+            out_b.append(b)
+            out_d.append(d)
+
+        # hot buckets above the cap: sorted-by-pHash sliding window (rare —
+        # loop is fine); near-pHash pairs stay adjacent, drops are reported
+        for s, e in zip(starts[sizes > m_cap], ends[sizes > m_cap]):
             m = e - s
             n_pairs = m * (m - 1) // 2
-            is_phash = kinds[s] == KIND_PHASH
-            if n_pairs <= self.cap:
-                ia, ib = np.triu_indices(m, k=1)
-                a, b = ids[s:e][ia], ids[s:e][ib]
-                pha, phb = ph[s:e][ia], ph[s:e][ib]
-                d = np.zeros(len(ia), dtype=np.int64)
-            else:
-                order = np.argsort(ph[s:e], kind="stable")
-                seg = ids[s:e][order]
-                segp = ph[s:e][order]
-                w = self.window
-                a = np.concatenate([seg[:-off] for off in range(1, w + 1)])
-                b = np.concatenate([seg[off:] for off in range(1, w + 1)])
+            seg_order = np.argsort(ph[s:e], kind="stable")
+            seg = ids[s:e][seg_order]
+            segp = ph[s:e][seg_order]
+            w = self.window
+            a = np.concatenate([seg[:-off] for off in range(1, w + 1)])
+            b = np.concatenate([seg[off:] for off in range(1, w + 1)])
+            d = np.full(len(a), n_pairs - len(a), dtype=np.int64)
+            if kinds[s] == KIND_PHASH:
                 pha = np.concatenate([segp[:-off] for off in range(1, w + 1)])
                 phb = np.concatenate([segp[off:] for off in range(1, w + 1)])
-                d = np.full(len(a), n_pairs - len(a), dtype=np.int64)
-            a, b, d = gated(a, b, pha, phb, is_phash, d)
+                a, b, d = hamming_keep(a, b, pha, phb, d)
             out_a.append(a)
             out_b.append(b)
             out_d.append(d)
