@@ -599,7 +599,14 @@ def dedup_images(
             return factory()
         return rdir.materialize(name, factory)
 
-    if rdir is not None and corpus_path is not None:
+    if (
+        rdir is not None
+        and corpus_path is not None
+        # partition-granular resume re-reads file groups with read_parquet;
+        # a .lance corpus's input_files() are Lance fragments, not parquet —
+        # fall back to the stage-granular checkpoint for those
+        and not corpus_path.endswith(".lance")
+    ):
         # per-partition feature checkpoints: one part per input-file group,
         # lineage (the file list) recorded in each part's _DONE
         files = sorted(ds.input_files())
@@ -1115,18 +1122,23 @@ def dedup_images(
         return t.filter(mask).select(["id_a", "id_b"])
 
     borderline_ds = verified.map_batches(_filter_borderline, batch_format="pyarrow")
-    auto_edges_ds = verified.map_batches(_filter_auto, batch_format="pyarrow")
+    # materialized ids-only (~16 B + id chars per edge, object-store-resident):
+    # the gate count below AND the CC consumer (driver collect or distributed
+    # propagation) read these blocks — unmaterialized, each would re-run the
+    # filter job over the full verified table
+    auto_edges_ds = verified.map_batches(
+        _filter_auto, batch_format="pyarrow"
+    ).materialize()
     metrics["candidate_edges"] = int(edges_raw.count())
     _lap("s_verify_split")
 
     # ---- connected components ----------------------------------------------
-    # cap gate counts the AUTO edges — the set CC actually consumes. The
-    # count is one vectorized filter pass over the MATERIALIZED verified
-    # table (no shuffle); gating on n_verified instead looked free but a 2M-row
-    # scaling run measured borderline at 4x the auto count, tripping the
-    # distributed path (150 s at 8 CPUs) for a 1.36M-edge job the driver
-    # Arrow CC clears in seconds. (Every non-borderline stage carries
-    # confidence >= 0.9: 1-4 = 1.0/.99/.95/.90.)
+    # cap gate counts the AUTO edges — the set CC actually consumes. Gating
+    # on n_verified instead looked free but a 2M-row scaling run measured
+    # borderline at 4x the auto count, tripping the distributed path (150 s
+    # at 8 CPUs) for a 1.36M-edge job the driver Arrow CC clears in seconds.
+    # (Every non-borderline stage carries confidence >= 0.9: 1-4 =
+    # 1.0/.99/.95/.90.)
     n_verified = int(verified.count())
     n_auto_edges = int(auto_edges_ds.count())
     metrics["verified_auto"] = n_auto_edges

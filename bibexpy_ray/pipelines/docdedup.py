@@ -262,12 +262,13 @@ class IntBucketPairEmitter:
             sortkey = part["sortkey"].to_numpy(dtype=_U64)
         else:
             sortkey = vals  # signature proximity by the carried value
+        aliased = sortkey is vals
         order = np.lexsort((ids, keys))  # np.lexsort beats the pandas sort 3x
         keys, ids = keys[order], ids[order]
         if vals is not None:
             vals = vals[order]
-        if sortkey is not None and sortkey is not vals:
-            sortkey = sortkey[order]
+        if sortkey is not None:
+            sortkey = vals if aliased else sortkey[order]
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         ends = np.r_[starts[1:], len(keys)]
         sizes = ends - starts
@@ -277,9 +278,7 @@ class IntBucketPairEmitter:
         # broadcast against the pair pattern) — mirrors
         # stages.lsh.BucketPairEmitter; per-bucket numpy calls dominate when
         # small buckets number in the hundreds of thousands
-        m_cap = int((1 + np.sqrt(1 + 8 * self.cap)) // 2)
-        while m_cap * (m_cap - 1) // 2 > self.cap:
-            m_cap -= 1
+        m_cap = BucketPairEmitter.max_full_bucket(self.cap)
         small = (sizes >= 2) & (sizes <= m_cap)
         s_starts = starts[small]
         s_sizes = sizes[small]

@@ -45,6 +45,20 @@ def corpus_path_for(sf_dir: str, seed: int = 42) -> str:
     return write_corpus_parquet(path, n, seed=seed)
 
 
+def _pool_concurrency(cpus: int) -> tuple[int, int]:
+    """Actor-pool (floor, ceil) for the decode-style stages.
+
+    floor=1 ramps too slowly at high CPU counts (actor startup serializes
+    behind the first batches — measured 2x the wall at 32 CPUs), while a
+    floor that reserves EVERY cluster CPU starves the upstream read tasks
+    and deadlocks the streaming executor. cpus//2, clamped strictly below
+    the cluster size, is the sweet spot at every size (2 CPUs -> (1, 1),
+    4 -> (2, 3), 32 -> (16, 31))."""
+    ceil = max(1, cpus - 1)
+    floor = max(1, min(ceil, cpus // 2))
+    return floor, ceil
+
+
 class DecodeStatsStage:
     """Actor-pool decode stage: bytes → decoded-pixel features.
 
@@ -94,11 +108,7 @@ def image_decode_stats(sf_dir: str) -> rd.Dataset:
         # binary payloads: batch bytes stay bounded (~3 MB at the corpus's
         # ~6 KB/img; real 100 KB+ images would warrant dropping this back)
         batch_size=512,
-        # autoscaling pool with a CPU-proportional floor: floor=1 ramps too
-        # slowly (measured 2x the wall at 32 CPUs — actor startup serializes
-        # behind the first batches); floor=cpus starves the upstream read and
-        # deadlocks the streaming executor. Half the CPUs is the sweet spot.
-        concurrency=(max(2, cpus // 2), max(2, cpus - 1)),
+        concurrency=_pool_concurrency(cpus),
     )
 
 
@@ -174,9 +184,7 @@ def image_resize(sf_dir: str, target: int = 16) -> rd.Dataset:
         fn_constructor_kwargs={"target": target},
         batch_format="pyarrow",
         batch_size=256,
-        # CPU-proportional floor (see image_decode_stats): floor=1 leaves the
-        # pool ramping behind the stream at high CPU counts
-        concurrency=(max(2, cpus // 2), max(2, cpus - 1)),
+        concurrency=_pool_concurrency(cpus),
     )
 
 
@@ -291,7 +299,7 @@ def video_frame_sample(sf_dir: str, every: int = 4) -> rd.Dataset:
         fn_constructor_kwargs={"every": every},
         batch_format="pyarrow",
         batch_size=64,  # payloads are ~12x image bytes — smaller batches
-        concurrency=(max(2, cpus // 2), max(2, cpus - 1)),
+        concurrency=_pool_concurrency(cpus),
     )
 
 
@@ -376,7 +384,7 @@ def audio_feature_stats(sf_dir: str) -> rd.Dataset:
         AudioFeatureStage,
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(max(2, cpus // 2), max(2, cpus - 1)),
+        concurrency=_pool_concurrency(cpus),
     )
 
 

@@ -196,6 +196,16 @@ class BucketPairEmitter:
                 cls._triu_cache[m] = got
         return got
 
+    @staticmethod
+    def max_full_bucket(cap: int) -> int:
+        """Largest bucket size whose full cross-product fits under ``cap``
+        (shared by this emitter and docdedup's IntBucketPairEmitter so the
+        two caps can't drift)."""
+        m = int((1 + np.sqrt(1 + 8 * cap)) // 2)
+        while m * (m - 1) // 2 > cap:
+            m -= 1
+        return m
+
     def __call__(self, part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
             return _EMPTY_PAIRS.copy()
@@ -215,9 +225,7 @@ class BucketPairEmitter:
         tol = self.phash_tol
         # largest bucket size whose full cross-product fits under the cap —
         # everything at or below it is emitted via the size-class path
-        m_cap = int((1 + np.sqrt(1 + 8 * self.cap)) // 2)
-        while m_cap * (m_cap - 1) // 2 > self.cap:
-            m_cap -= 1
+        m_cap = self.max_full_bucket(self.cap)
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_d: list[np.ndarray] = []

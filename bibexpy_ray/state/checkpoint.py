@@ -71,8 +71,12 @@ class RunDir:
             m["stages"].append(name)
             self._write_manifest(m)
         if metrics is not None:
+            # lineage (per-part input-file lists) lives in the _DONE marker
+            # for resume validation; the append-only metrics log doesn't
+            # need a copy per run
+            slim = {k: v for k, v in metrics.items() if k != "lineage"}
             with open(os.path.join(self.path, "metrics.jsonl"), "a") as f:
-                f.write(json.dumps({"stage": name, **metrics}) + "\n")
+                f.write(json.dumps({"stage": name, **slim}) + "\n")
 
     def materialize(
         self, name: str, compute: Callable[[], "rd.Dataset"], metrics_fn=None
@@ -107,6 +111,24 @@ class RunDir:
         with open(p) as f:
             return [json.loads(line) for line in f if line.strip()]
 
+    def invalidate_from(self, name: str) -> None:
+        """Drop completion markers for ``name`` and every stage recorded
+        after it (manifest order = pipeline completion order). Used when a
+        completed stage's INPUTS changed between runs: every downstream
+        checkpoint derives from the stale output, so resuming from any of
+        them would silently serve results for the old inputs."""
+        m = self.manifest()
+        stages = m.get("stages", [])
+        if name not in stages:
+            return
+        idx = stages.index(name)
+        for later in stages[idx:]:
+            marker = os.path.join(self.stage_dir(later), "_DONE")
+            if os.path.exists(marker):
+                os.remove(marker)
+        m["stages"] = stages[:idx]
+        self._write_manifest(m)
+
     def materialize_partitioned(
         self,
         name: str,
@@ -131,12 +153,47 @@ class RunDir:
         itself a parallel Ray Data job (parallel across its row groups), so
         the driver-side loop costs scheduling only.
 
+        Lineage is validated, not trusted: a partition resumes only if its
+        ``_DONE`` record's ``inputs`` equal the partition's current input
+        list, and the stage-level fast path only fires when the whole
+        partitioning (keys + inputs) matches what the stage completed with —
+        a corpus whose file list changed between runs (new shard landed,
+        re-sharded) recomputes exactly the reassigned partitions instead of
+        silently serving features for the old assignment. Read-back targets
+        the CURRENT partition dirs explicitly, so stale ``part-*`` dirs from
+        an older partitioning (or orphaned ``.tmp`` dirs) never leak rows
+        into the result; completion prunes them.
+
         Directory names use ``part-<key>`` (no ``=``) so parquet dataset
         discovery never hive-infers a partition column.
         """
         sdir = self.stage_dir(name)
+        lineage = {key: list(inputs) for key, inputs in partitions}
+        part_dirs = [os.path.join(sdir, f"part-{key}") for key, _ in partitions]
+
+        def read_current() -> "rd.Dataset":
+            # read back ONLY the current partitions' files (a list given to
+            # read_parquet must be files, and dataset discovery over the
+            # stage dir would sweep up stale part dirs from an older
+            # partitioning)
+            files = [
+                os.path.join(d, f)
+                for d in part_dirs
+                for f in sorted(os.listdir(d))
+                if not f.startswith(("_", "."))
+            ]
+            return rd.read_parquet(files)
+
         if self.is_done(name):
-            return rd.read_parquet(sdir)
+            with open(os.path.join(sdir, "_DONE")) as f:
+                done_meta = json.load(f)
+            if done_meta.get("lineage") == lineage:
+                return read_current()
+            # partitioning changed since the stage finished: drop this
+            # stage's marker AND every downstream stage's (their outputs
+            # derive from the stale features), then fall through — per-part
+            # validation below recomputes only the reassigned partitions
+            self.invalidate_from(name)
         os.makedirs(sdir, exist_ok=True)
         t0 = time.time()
         resumed = 0
@@ -146,9 +203,12 @@ class RunDir:
             marker = os.path.join(pdir, "_DONE")
             if os.path.exists(marker):
                 with open(marker) as f:
-                    total_rows += json.load(f).get("rows", 0)
-                resumed += 1
-                continue
+                    rec = json.load(f)
+                if rec.get("inputs") == list(inputs):
+                    total_rows += rec.get("rows", 0)
+                    resumed += 1
+                    continue
+                shutil.rmtree(pdir)  # stale lineage: recompute
             pt0 = time.time()
             pds = compute_part(inputs)
             tmp = pdir + ".tmp"
@@ -159,7 +219,7 @@ class RunDir:
             rows = rd.read_parquet(tmp).count()  # parquet metadata count
             with open(os.path.join(tmp, "_DONE"), "w") as f:
                 json.dump(
-                    {"inputs": inputs, "rows": rows,
+                    {"inputs": list(inputs), "rows": rows,
                      "seconds": round(time.time() - pt0, 3)},
                     f,
                 )
@@ -167,9 +227,19 @@ class RunDir:
                 shutil.rmtree(pdir)
             os.replace(tmp, pdir)
             total_rows += rows
+        current = {f"part-{key}" for key, _ in partitions}
+        for entry in os.listdir(sdir):
+            full = os.path.join(sdir, entry)
+            if (
+                entry.startswith("part-")
+                and os.path.isdir(full)
+                and (entry.endswith(".tmp") or entry not in current)
+            ):
+                shutil.rmtree(full)
         self.mark_done(
             name,
             {"seconds": round(time.time() - t0, 3), "rows": total_rows,
-             "partitions": len(partitions), "resumed_partitions": resumed},
+             "partitions": len(partitions), "resumed_partitions": resumed,
+             "lineage": lineage},
         )
-        return rd.read_parquet(sdir)
+        return read_current()

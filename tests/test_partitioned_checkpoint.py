@@ -84,3 +84,67 @@ def test_fully_complete_partitioned_stage_short_circuits(tmp_path):
     again = di.dedup_images(corpus, cfg, run_dir=run)
     assert _cluster_sets(again) == _cluster_sets(first)
     assert [os.path.getmtime(os.path.join(p, "_DONE")) for p in parts] == mtimes
+
+
+def test_changed_corpus_invalidates_stale_partitions(tmp_path):
+    """A corpus whose file list changed between runs must NOT resume from
+    partitions computed under the old assignment: lineage is validated
+    per-part, the stage fast path re-checks the whole partitioning, and
+    read-back never sweeps up stale part dirs."""
+    corpus = str(tmp_path / "corpus")
+    _write_corpus(corpus)
+    cfg = DedupConfig(feature_checkpoint_parts=N_FILES)
+    run = str(tmp_path / "run")
+    di.dedup_images(corpus, cfg, run_dir=run)
+
+    # re-shard the same 192 rows into 3 files instead of 4 — every group's
+    # file list changes, and one old part key (part-00003) goes stale
+    table = synth.CorpusGen(42).rows(range(N_ROWS))
+    for f in glob.glob(os.path.join(corpus, "*.parquet")):
+        os.remove(f)
+    step = N_ROWS // 3
+    for i in range(3):
+        end = N_ROWS if i == 2 else (i + 1) * step
+        pq.write_table(table.slice(i * step, end - i * step),
+                       os.path.join(corpus, f"g{i}.parquet"))
+    cfg3 = DedupConfig(feature_checkpoint_parts=3)
+    baseline = di.dedup_images(rd.read_parquet(corpus), cfg3)
+
+    # same run dir, changed partitioning: without lineage validation this
+    # would serve 4 stale parts (duplicated + misassigned rows). The config
+    # guard keys on str(cfg), so reuse requires an equal cfg — simulate an
+    # operator resuming after a corpus change by rewriting the manifest cfg.
+    manifest = json.load(open(os.path.join(run, "manifest.json")))
+    manifest["config"] = {"cfg": str(cfg3)}
+    json.dump(manifest, open(os.path.join(run, "manifest.json"), "w"))
+    res = di.dedup_images(corpus, cfg3, run_dir=run)
+    assert _cluster_sets(res) == _cluster_sets(baseline)
+
+    parts = sorted(glob.glob(os.path.join(run, "stage=features", "part-*")))
+    assert len(parts) == 3  # the stale part-00003 was pruned
+    for p in parts:
+        lineage = json.load(open(os.path.join(p, "_DONE")))
+        assert all(os.path.basename(f).startswith("g") for f in lineage["inputs"])
+    # feature row count must equal the corpus, not corpus + stale dup rows
+    part_files = [f for p in parts for f in glob.glob(os.path.join(p, "*.parquet"))]
+    assert rd.read_parquet(part_files).count() == N_ROWS
+
+
+def test_orphan_tmp_dir_not_read_back(tmp_path):
+    """A crashed partition write leaves part-<key>.tmp; resume must neither
+    read it back (parquet discovery would) nor leave it behind."""
+    corpus = str(tmp_path / "corpus")
+    _write_corpus(corpus)
+    cfg = DedupConfig(feature_checkpoint_parts=N_FILES)
+    run = str(tmp_path / "run")
+    first = di.dedup_images(corpus, cfg, run_dir=run)
+
+    sdir = os.path.join(run, "stage=features")
+    parts = sorted(glob.glob(os.path.join(sdir, "part-*")))
+    # fake a crash: a fully-written tmp dir (no _DONE inside counts as done
+    # only via rename) plus a dropped stage marker
+    shutil.copytree(parts[0], parts[0] + ".tmp")
+    os.remove(os.path.join(sdir, "_DONE"))
+    res = di.dedup_images(corpus, cfg, run_dir=run)
+    assert _cluster_sets(res) == _cluster_sets(first)
+    assert not os.path.exists(parts[0] + ".tmp")
