@@ -1098,12 +1098,12 @@ def dedup_images(
             ),
             batch_format="pandas",
         )
-        return joined.map_batches(
-            EdgeVerifier,
-            fn_constructor_kwargs={"cfg": cfg},
-            batch_format="pandas",
-            concurrency=_default_concurrency(),
-        )
+        # task pool, not an actor pool: the verifier's only state is the
+        # small cfg (ships once in the task closure), so tasks schedule as
+        # wide as the cluster with no pool ramp — the broadcast path above
+        # already verifies via tasks for the same reason
+        verifier = EdgeVerifier(cfg)
+        return joined.map_batches(verifier, batch_format="pandas")
 
     # verified stays a DATASET: pinned in the object store, consumed by the
     # borderline/auto filters below — never collected whole to the driver
