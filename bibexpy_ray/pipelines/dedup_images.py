@@ -492,15 +492,6 @@ def _exact_group_edges(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _default_concurrency() -> tuple[int, int]:
-    """Actor-pool sizing: autoscale from 1 up to cpus-1 actors. A fixed
-    minimum above 1 can deadlock the streaming executor when several stages
-    compete for CPUs on a small node; (1, cpus-1) keeps one CPU for the
-    read/write stages and lets Ray grow the pool under load."""
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(2, cpus - 1))
-
-
 def compute_features(ds: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     """Signature stage over the metadata columns (zero-copy Arrow batches).
 

@@ -168,7 +168,19 @@ class RunDir:
         discovery never hive-infers a partition column.
         """
         sdir = self.stage_dir(name)
-        lineage = {key: list(inputs) for key, inputs in partitions}
+
+        def _sig(path: str) -> list:
+            # content fingerprint: path alone would resume stale data when a
+            # corpus is regenerated in place under the same file names.
+            # Local files get size+mtime; remote URIs (s3://...) fall back
+            # to path-only — object stores version by key, not mtime.
+            try:
+                st = os.stat(path)
+                return [path, st.st_size, int(st.st_mtime)]
+            except OSError:
+                return [path]
+
+        lineage = {key: [_sig(p) for p in inputs] for key, inputs in partitions}
         part_dirs = [os.path.join(sdir, f"part-{key}") for key, _ in partitions]
 
         def read_current() -> "rd.Dataset":
@@ -204,7 +216,7 @@ class RunDir:
             if os.path.exists(marker):
                 with open(marker) as f:
                     rec = json.load(f)
-                if rec.get("inputs") == list(inputs):
+                if rec.get("inputs") == lineage[key]:
                     total_rows += rec.get("rows", 0)
                     resumed += 1
                     continue
@@ -219,7 +231,7 @@ class RunDir:
             rows = rd.read_parquet(tmp).count()  # parquet metadata count
             with open(os.path.join(tmp, "_DONE"), "w") as f:
                 json.dump(
-                    {"inputs": list(inputs), "rows": rows,
+                    {"inputs": lineage[key], "rows": rows,
                      "seconds": round(time.time() - pt0, 3)},
                     f,
                 )
@@ -229,13 +241,18 @@ class RunDir:
             total_rows += rows
         current = {f"part-{key}" for key, _ in partitions}
         for entry in os.listdir(sdir):
+            # prune EVERYTHING that is not a current partition or a marker:
+            # stale part dirs from an older partitioning, orphaned .tmp
+            # dirs, and flat parquet files left by a stage-granular
+            # materialize() of the same stage (a later stage-granular
+            # resume reads the whole dir and would double-count rows)
+            if entry.startswith(("_", ".")) or entry in current:
+                continue
             full = os.path.join(sdir, entry)
-            if (
-                entry.startswith("part-")
-                and os.path.isdir(full)
-                and (entry.endswith(".tmp") or entry not in current)
-            ):
+            if os.path.isdir(full):
                 shutil.rmtree(full)
+            else:
+                os.remove(full)
         self.mark_done(
             name,
             {"seconds": round(time.time() - t0, 3), "rows": total_rows,

@@ -50,7 +50,8 @@ def test_partitioned_feature_checkpoint_and_partial_resume(tmp_path):
     for p in parts:
         lineage = json.load(open(os.path.join(p, "_DONE")))
         assert lineage["inputs"] and lineage["rows"] > 0
-        assert all(f.startswith(corpus) for f in lineage["inputs"])
+        # lineage entries are [path, size, mtime] fingerprints
+        assert all(f[0].startswith(corpus) for f in lineage["inputs"])
 
     # kill one partition mid-stage: only it recomputes on resume
     shutil.rmtree(parts[1])
@@ -124,10 +125,39 @@ def test_changed_corpus_invalidates_stale_partitions(tmp_path):
     assert len(parts) == 3  # the stale part-00003 was pruned
     for p in parts:
         lineage = json.load(open(os.path.join(p, "_DONE")))
-        assert all(os.path.basename(f).startswith("g") for f in lineage["inputs"])
+        assert all(os.path.basename(f[0]).startswith("g") for f in lineage["inputs"])
     # feature row count must equal the corpus, not corpus + stale dup rows
     part_files = [f for p in parts for f in glob.glob(os.path.join(p, "*.parquet"))]
     assert rd.read_parquet(part_files).count() == N_ROWS
+
+
+def test_regenerated_in_place_corpus_recomputes(tmp_path):
+    """Same file NAMES, new contents: path-only lineage would resume every
+    partition from stale data — the size/mtime fingerprint must force a
+    recompute."""
+    corpus = str(tmp_path / "corpus")
+    _write_corpus(corpus)
+    cfg = DedupConfig(feature_checkpoint_parts=N_FILES)
+    run = str(tmp_path / "run")
+    di.dedup_images(corpus, cfg, run_dir=run)
+    sdir = os.path.join(run, "stage=features")
+    mtimes = {p: os.path.getmtime(os.path.join(p, "_DONE"))
+              for p in glob.glob(os.path.join(sdir, "part-*"))}
+
+    # regenerate the corpus in place with DIFFERENT rows, same file names;
+    # bump mtimes explicitly in case the fs clock is coarse
+    table = synth.CorpusGen(7).rows(range(N_ROWS))
+    step = N_ROWS // N_FILES
+    for i in range(N_FILES):
+        f = os.path.join(corpus, f"f{i}.parquet")
+        pq.write_table(table.slice(i * step, step), f)
+        os.utime(f, (os.path.getmtime(f) + 10, os.path.getmtime(f) + 10))
+    baseline = di.dedup_images(rd.read_parquet(corpus), cfg)
+
+    res = di.dedup_images(corpus, cfg, run_dir=run)
+    assert _cluster_sets(res) == _cluster_sets(baseline)
+    for p, old in mtimes.items():
+        assert os.path.getmtime(os.path.join(p, "_DONE")) != old  # recomputed
 
 
 def test_orphan_tmp_dir_not_read_back(tmp_path):
