@@ -164,7 +164,11 @@ def _empty_out() -> pd.DataFrame:
 
 
 class EdgeVerifier:
-    """Actor-pool map_batches wrapper around ``verify_edges_batch``."""
+    """Callable ``map_batches`` wrapper around ``verify_edges_batch``.
+
+    Passed as an INSTANCE (task pool): the only state is the small config,
+    which ships once in the task closure — an actor pool would add startup
+    ramp without amortizing anything."""
 
     def __init__(self, cfg: DedupConfig | None = None):
         self.cfg = cfg or DedupConfig()
