@@ -63,3 +63,87 @@ def test_sortkey_proximity_dominates_salt():
     got = _pairset(out)
     want = {(i, i + 1) for i in range(19)}
     assert got == want
+
+
+# ---- size-class vectorization equivalence (multi-bucket batches) ----------
+# The size-class path emits ALL under-cap buckets with one broadcast triu per
+# distinct size; its risk is the cross-bucket index arithmetic, so these
+# tests drive many buckets of mixed sizes in ONE part and compare against a
+# per-bucket brute force.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _brute_pairs(df: pd.DataFrame) -> set[tuple[int, int]]:
+    want = set()
+    for _, grp in df.groupby("bucket_key"):
+        ids = sorted(grp["doc_id"].tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                want.add((ids[i], ids[j]))
+    return want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=30),
+    st.randoms(use_true_random=False),
+)
+def test_multibucket_size_classes_match_brute_force(sizes, rnd):
+    cap = 100  # every bucket below the cap -> exact full cross-product
+    em = IntBucketPairEmitter(cap=cap, window=2)
+    rows_key, rows_id = [], []
+    next_id = 0
+    for bi, m in enumerate(sizes):
+        ids = list(range(next_id, next_id + m))
+        next_id += m
+        rows_key += [bi * 7919 + 13] * m
+        rows_id += ids
+    # shuffle rows so the emitter's own lexsort does the segmenting
+    order = list(range(len(rows_id)))
+    rnd.shuffle(order)
+    df = pd.DataFrame(
+        {
+            "bucket_key": np.array([rows_key[i] for i in order], dtype=np.uint64),
+            "doc_id": np.array([rows_id[i] for i in order], dtype=np.int64),
+        }
+    )
+    out = em(df)
+    got = {(min(a, b), max(a, b)) for a, b in _pairset(out)}
+    assert got == _brute_pairs(df)
+    assert (out["dropped"] == 0).all()
+
+
+def test_mixed_small_and_hot_buckets_one_part():
+    # one part holding: a size-2, a size-5, and a hot size-25 bucket; the
+    # small buckets stay exact while the hot one windows + reports drops
+    em = IntBucketPairEmitter(cap=10, window=2)
+    df = pd.concat(
+        [_part(1, [0, 1]), _part(2, range(10, 15)), _part(3, range(100, 125))]
+    )
+    out = em(df)
+    small = out[out["dropped"] == 0]
+    got_small = {(min(a, b), max(a, b)) for a, b in _pairset(small)}
+    assert got_small >= {(0, 1)}
+    assert {(a, b) for (a, b) in got_small if a >= 10 and b < 100} == {
+        (i, j) for i in range(10, 15) for j in range(i + 1, 15)
+    }
+    hot = out[out["dropped"] > 0]
+    assert len(hot) > 0 and (hot["dropped"] == 25 * 24 // 2 - len(hot)).all()
+
+
+def test_value_col_rides_size_class_emit():
+    # carried values must stay row-aligned through the broadcast indexing
+    em = IntBucketPairEmitter(cap=100, window=2, value_col="val")
+    df = pd.DataFrame(
+        {
+            "bucket_key": np.array([1, 1, 1, 2, 2], dtype=np.uint64),
+            "doc_id": np.array([10, 11, 12, 20, 21], dtype=np.int64),
+            "val": np.array([100, 110, 120, 200, 210], dtype=np.uint64),
+        }
+    )
+    out = em(df)
+    for _, r in out.iterrows():
+        assert r["val_a"] == r["id_a"] * 10
+        assert r["val_b"] == r["id_b"] * 10
