@@ -147,3 +147,68 @@ def test_value_col_rides_size_class_emit():
     for _, r in out.iterrows():
         assert r["val_a"] == r["id_a"] * 10
         assert r["val_b"] == r["id_b"] * 10
+
+
+# ---- stages.lsh.BucketPairEmitter: size classes + inline pHash gate -------
+
+from bibexpy_ray.functions import hashing
+from bibexpy_ray.stages.lsh import KIND_PHASH, BucketPairEmitter
+
+
+def _lsh_part(rows):
+    # rows: (bucket_key, uid, phash, kind)
+    k, u, p, kd = zip(*rows)
+    return pd.DataFrame(
+        {
+            "bucket_key": np.array(k, dtype=np.uint64),
+            "uid": np.array(u, dtype=np.uint64),
+            "phash": np.array(p, dtype=np.int64),
+            "kind": np.array(kd, dtype=np.int8),
+        }
+    )
+
+
+def test_lsh_multibucket_mixed_kinds_phash_gate():
+    """One part holding a non-phash size-3 bucket, a phash size-3 bucket
+    (one member beyond tolerance), and a phash size-2 bucket — the gate
+    must apply per-bucket-kind across the size-class emit."""
+    em = BucketPairEmitter(cap=100, window=2, phash_tol=4)
+    rows = [
+        # bucket 1: caption kind — all 3 pairs survive regardless of phash
+        (1, 10, 0, 0), (1, 11, 1 << 40, 0), (1, 12, -5, 0),
+        # bucket 2: phash kind — uids 20,21 close (ham 2); 22 far
+        (2, 20, 0b0000, KIND_PHASH), (2, 21, 0b0011, KIND_PHASH),
+        (2, 22, -1, KIND_PHASH),
+        # bucket 3: phash kind size-2, within tolerance
+        (3, 30, 8, KIND_PHASH), (3, 31, 12, KIND_PHASH),
+    ]
+    out = em(_lsh_part(rows))
+    got = {(min(a, b), max(a, b)) for a, b in zip(out["id_a"], out["id_b"])}
+    assert got == {(10, 11), (10, 12), (11, 12), (20, 21), (30, 31)}
+    assert (out["dropped"] == 0).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=2, max_value=10), min_size=1, max_size=20),
+    st.randoms(use_true_random=False),
+)
+def test_lsh_multibucket_size_classes_match_brute_force(sizes, rnd):
+    em = BucketPairEmitter(cap=100, window=2, phash_tol=64)  # gate disabled
+    rows = []
+    next_uid = 1
+    for bi, m in enumerate(sizes):
+        for _ in range(m):
+            rows.append((bi * 104729 + 1, next_uid, rnd.randrange(-2**60, 2**60), 0))
+            next_uid += 1
+    rnd.shuffle(rows)
+    df = _lsh_part(rows)
+    out = em(df)
+    got = {(min(a, b), max(a, b)) for a, b in zip(out["id_a"], out["id_b"])}
+    want = set()
+    for _, grp in df.groupby("bucket_key"):
+        ids = sorted(grp["uid"].tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                want.add((ids[i], ids[j]))
+    assert got == want and (out["dropped"] == 0).all()
