@@ -452,14 +452,27 @@ def interval_splits(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
-        field_component_splits(ds.map_batches(prep, batch_format="pandas"))
-        .to_pandas()
-        .drop(columns=["fields"])
+    out = field_component_splits(
+        ds.map_batches(prep, batch_format="pandas")
+    ).to_pandas()
+    if len(out) == 0:
+        # a corpus dense enough to leave no length-bucket gaps proposes no
+        # splits; to_pandas() on the all-empty Dataset drops the schema
+        # (0-column frame), so rebuild the output shape explicitly
+        return pd.DataFrame(
+            {
+                "mention": pd.Series([], dtype=object),
+                "proposed_name": pd.Series([], dtype=object),
+                "n_records": pd.Series([], dtype=np.int64),
+                "rec_min": pd.Series([], dtype=np.int64),
+                "tier": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        out.drop(columns=["fields"])
         .sort_values(["mention", "proposed_name"])
         .reset_index(drop=True)
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
