@@ -129,3 +129,12 @@ def test_canonical_dataset(result, corpus_table):
     # survivors present with their own caption
     surv_ids = set(result.clusters["survivor_id"])
     assert surv_ids <= set(canon["image_id"])
+
+
+def test_bytes_column_never_required(result, corpus_table):
+    # the dedup path must not read image bytes at all (100-TB rule: payloads
+    # never transit the dedup shuffles) — dropping the column entirely must
+    # produce the identical cluster assignment
+    no_bytes = rd.from_arrow(corpus_table.drop_columns(["bytes"]))
+    res2 = dedup_images(no_bytes, DedupConfig())
+    assert res2.cluster_map == result.cluster_map
