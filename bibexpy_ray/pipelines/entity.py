@@ -119,6 +119,19 @@ def cluster_mentions(ds: rd.Dataset, mention_col: str, n_parts: int = 32) -> rd.
     """Generic mention-clustering pipeline: normalize → block → per-block greedy.
 
     ``ds`` needs an id column ``mention_id`` and the mention column.
+
+    Two shuffles, not one: the greedy pass is O(block²) scalar Jaro-Winkler,
+    so parallelism must be per LEAF block, not per coarse block key. A
+    single shuffle on ``_bkey`` serializes the whole stage when one key is
+    hot (e.g. every mention sharing its first token — one partition does
+    all the quadratic work single-core; measured 11 s for 15k single-prefix
+    names at 32 CPUs). Stage 1 partitions by ``_bkey`` and does only the
+    CHEAP work — the hierarchical prefix refinement that determines leaf
+    block membership (string slicing, linear). Stage 2 re-partitions by the
+    refined LEAF key and runs the quadratic greedy with every leaf in
+    parallel. Leaf membership — and therefore the output — is identical to
+    the fused form because refinement depends only on the rows sharing a
+    ``_bkey``, which stage 1 co-locates.
     """
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -137,35 +150,64 @@ def cluster_mentions(ds: rd.Dataset, mention_col: str, n_parts: int = 32) -> rd.
         out["_part"] = (h % np.uint64(n_parts)).astype(np.int32)
         return out
 
-    def split_oversized(g: pd.DataFrame, depth: int = 0) -> list[pd.DataFrame]:
-        """Hierarchical block refinement (hot-block split): a block larger than
-        MAX_BLOCK is re-split by a lengthening prefix of the normalized
-        mention, recursively — the greedy pass is O(block²) so bounded blocks
-        are what keeps the stage linear under skewed name distributions
-        (e.g. every mention sharing its first token)."""
+    def leaf_depth(g: pd.DataFrame, depth: int = 0):
+        """Hierarchical block refinement (hot-block split): a block larger
+        than MAX_BLOCK is re-split by a lengthening prefix of the normalized
+        mention, recursively — bounded blocks are what keeps the greedy
+        stage linear under skewed name distributions. Returns a per-row
+        Series of the depth at which each row's leaf block settles."""
         if len(g) <= MAX_BLOCK or depth > 24:
-            return [g]
-        out: list[pd.DataFrame] = []
-        for _, sub in g.groupby(g["_norm"].str.slice(0, 10 + depth)):
-            out.extend(split_oversized(sub, depth + 1))
+            return pd.Series(depth, index=g.index, dtype=np.int64)
+        parts = [
+            leaf_depth(sub, depth + 1)
+            for _, sub in g.groupby(g["_norm"].str.slice(0, 10 + depth))
+        ]
+        return pd.concat(parts)
+
+    def assign_leaves(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out["_leaf"] = pd.Series([], dtype=object)
+            out["_part"] = pd.Series([], dtype=np.int32)
+            return out
+        df = df.reset_index(drop=True)  # reduce frames can carry dup indexes
+        depths = []
+        for _, g in df.groupby("_bkey"):
+            depths.append(leaf_depth(g))
+        d = pd.concat(depths).reindex(df.index)
+        # leaf id = (coarse key, settle depth, FORMING prefix). A leaf that
+        # settled at depth dd was formed by grouping on slice(0, 10+dd-1) at
+        # its parent's depth — its rows share exactly that prefix, NOT the
+        # one-longer slice at dd (using the longer slice would splinter each
+        # leaf into per-next-char fragments and change the clustering). The
+        # depth stays part of the identity: leaves of different depths can
+        # share a prefix string.
+        prefix = pd.Series(
+            [n[: 9 + dd] if dd else "" for n, dd in zip(df["_norm"], d)],
+            index=df.index,
+        )
+        out = df.copy()
+        out["_leaf"] = df["_bkey"] + "\x1f" + d.astype(str) + "\x1f" + prefix
+        h = hashing.text_hash_u64(out["_leaf"].tolist())
+        out["_part"] = (h % np.uint64(n_parts)).astype(np.int32)
         return out
 
-    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+    def per_leaf_part(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for _, g in df.groupby("_bkey"):
-            for sub in split_oversized(g):
-                o = cluster_block(sub)
-                if len(o):
-                    outs.append(o)
+        for _, g in df.groupby("_leaf"):
+            o = cluster_block(g)
+            if len(o):
+                outs.append(o)
         if not outs:
             return cluster_block(df.iloc[:0])
         return pd.concat(outs, ignore_index=True)
 
     from bibexpy_ray.stages.shuffle import hash_partition_apply
 
-    return hash_partition_apply(
-        ds.map_batches(explode, batch_format="pandas"), n_parts, per_part
+    leaves = hash_partition_apply(
+        ds.map_batches(explode, batch_format="pandas"), n_parts, assign_leaves
     )
+    return hash_partition_apply(leaves, n_parts, per_leaf_part)
 
 
 def customer_name_clusters(sf_dir: str) -> pd.DataFrame:

@@ -519,3 +519,71 @@ def test_merge_statistics_streaming_totals(ray_session):
     assert out["merged"]["rows"] == 3 and out["merged"]["empty_cell_bp"] == 0
     assert out["common_columns"] == 2  # TI, PY
     assert out["merge_rate_bp"] == 7500  # 3 of 4 input rows survive
+
+
+def test_cluster_mentions_two_stage_matches_fused(ray_session):
+    """The two-shuffle leaf parallelization must produce the identical
+    cluster table as a fused groupby→split→greedy pass, including under
+    the skew it exists for (every mention sharing one coarse block key)."""
+    import numpy as np
+    import ray.data as rd
+
+    from bibexpy_ray.pipelines.entity import (
+        MAX_BLOCK,
+        block_key,
+        cluster_mentions,
+    )
+    from bibexpy_ray.functions.normalize import normalize_name
+
+    rng = np.random.default_rng(11)
+    names = (
+        # one hot coarse key: shared long prefix, suffix digits (forces the
+        # recursive prefix refinement several levels deep)
+        [f"Customer Alpha {i:06d}" for i in range(600)]
+        # a handful of small natural blocks
+        + [f"{fam} {giv}" for fam in ["smith", "jones", "garcia"]
+           for giv in ["anna", "annna", "bob", "bobb", "carol"]]
+    )
+    rng.shuffle(names)
+    df = pd.DataFrame({"mention_id": range(len(names)), "name": names})
+
+    got = (
+        cluster_mentions(rd.from_pandas(df), "name")
+        .to_pandas()
+        .sort_values(["canonical", "variants"])
+        .reset_index(drop=True)
+    )
+
+    # fused single-machine reference: identical primitives, no shuffles
+    from bibexpy_ray.pipelines.entity import cluster_block
+
+    work = pd.DataFrame(
+        {
+            "mention_id": df["mention_id"],
+            "mention": df["name"],
+            "_norm": [normalize_name(n) for n in df["name"]],
+        }
+    )
+    work["_bkey"] = [block_key(n) for n in work["_norm"]]
+    work = work[(work["_norm"] != "") & (work["_bkey"] != "")]
+
+    def split(g, depth=0):
+        if len(g) <= MAX_BLOCK or depth > 24:
+            return [g]
+        out = []
+        for _, sub in g.groupby(g["_norm"].str.slice(0, 10 + depth)):
+            out.extend(split(sub, depth + 1))
+        return out
+
+    outs = []
+    for _, g in work.groupby("_bkey"):
+        for sub in split(g):
+            o = cluster_block(sub)
+            if len(o):
+                outs.append(o)
+    want = (
+        pd.concat(outs, ignore_index=True)
+        .sort_values(["canonical", "variants"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
