@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         enricher,
         entity,
         geo,
+        incremental,
         mlscore,
         multimodal,
         relational,
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize_stats": multimodal.image_resize_stats,
         "video_frame_sample": multimodal.video_frame_sample,
         "audio_feature_stats": multimodal.audio_feature_stats,
+        "incremental_dedup": incremental.incremental_dedup_clusters,
     }
 
 
@@ -613,5 +615,7 @@ def oracle_sql() -> dict[str, str]:
         # clustering / trained models), image_decode_stats,
         # image_dedup_clusters (binary corpus), image_resize_stats /
         # video_frame_sample / audio_feature_stats (decode features),
-        # ann_topk_ivf (approximate; pytest-checked recall >= 0.9 vs exact)
+        # ann_topk_ivf (approximate; pytest-checked recall >= 0.9 vs exact),
+        # incremental_dedup (greedy/CC over a saved base index;
+        # equivalence-to-full-run proven in tests/test_incremental.py)
     }

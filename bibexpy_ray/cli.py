@@ -54,6 +54,29 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup_incr(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray
+    import ray.data as rd
+
+    from bibexpy_ray.config import DedupConfig, tune_data_context
+
+    tune_data_context(payload="binary")
+    from bibexpy_ray.pipelines.incremental import dedup_images_incremental
+
+    clusters, metrics = dedup_images_incremental(
+        args.base, args.input, DedupConfig(), run_dir=args.checkpoints
+    )
+    import os
+
+    os.makedirs(args.out, exist_ok=True)
+    out_path = os.path.join(args.out, "clusters")
+    rd.from_pandas(clusters).write_parquet(out_path)
+    print(json.dumps({"metrics": metrics, "clusters": out_path}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_synth(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     import ray
@@ -108,6 +131,17 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--checkpoints", default=None, help="stage-checkpoint dir (resume)")
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_dedup)
+
+    di = sub.add_parser(
+        "dedup-incr",
+        help="fold a new shard into a saved base run (incremental dedup)",
+    )
+    di.add_argument("--base", required=True, help="base run dir (a save_run output)")
+    di.add_argument("--input", required=True, help="new-shard parquet dir/file")
+    di.add_argument("--out", required=True, help="output directory")
+    di.add_argument("--checkpoints", default=None, help="stage-checkpoint dir (resume)")
+    di.add_argument("--num-cpus", type=int, default=None)
+    di.set_defaults(fn=cmd_dedup_incr)
 
     s = sub.add_parser("synth", help="generate the deterministic synthetic corpus")
     s.add_argument("--out", required=True)

@@ -524,6 +524,7 @@ def dedup_images(
     cfg: DedupConfig | None = None,
     run_dir: Optional[str] = None,
     survivor_rank_fn=None,
+    skip_pairs_within: "np.ndarray | None" = None,
 ) -> DedupResult:
     """Run the full near-duplicate pipeline. ``ds`` must have IMAGE_SCHEMA columns
     (bytes optional — never read here). Returns cluster assignments + side outputs.
@@ -539,6 +540,12 @@ def dedup_images(
     stages/survivor.survivors_partition. The callable is NOT part of the
     checkpoint config — resuming a run_dir with a different rank_fn is the
     caller's responsibility.
+
+    ``skip_pairs_within`` (incremental mode, see pipelines/incremental.py):
+    uint64 uids whose within-set candidate pairs are dropped before the
+    verify stage — used when those rows are a base run's survivor index and
+    pairs among them were already adjudicated. Not part of the checkpoint
+    config: give incremental runs their own ``run_dir``.
     """
     import time as _time
 
@@ -882,6 +889,28 @@ def dedup_images(
         else:
             pairs = run_lsh()
         _lap("s_cand_emit")
+        if skip_pairs_within is not None and len(skip_pairs_within):
+            # incremental mode: pairs WITHIN the base index were adjudicated
+            # by the base run (they stayed separate clusters) — drop them
+            # BEFORE the dedupe shuffle so they never move again. The gate is
+            # one sorted uint64 array in the object store (8 B per base
+            # canonical row), read zero-copy per task.
+            gate_ref = ray.put(
+                np.sort(np.asarray(skip_pairs_within, dtype=np.uint64))
+            )
+
+            def drop_base_pairs(df: pd.DataFrame) -> pd.DataFrame:
+                g = ray.get(gate_ref)
+
+                def in_gate(v: np.ndarray) -> np.ndarray:
+                    i = np.searchsorted(g, v)
+                    return (i < len(g)) & (g[np.minimum(i, len(g) - 1)] == v)
+
+                a = df["id_a"].to_numpy(dtype=np.uint64)
+                b = df["id_b"].to_numpy(dtype=np.uint64)
+                return df[~(in_gate(a) & in_gate(b))]
+
+            pairs = pairs.map_batches(drop_base_pairs, batch_format="pandas")
         # a pair appears in many buckets: dedupe on (id_a, id_b) — manual
         # hash shuffle (the reduce is pure vectorized; the sort-groupby's
         # coordination would dominate it 4x, stages/shuffle.py)
