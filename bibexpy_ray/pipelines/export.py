@@ -43,7 +43,12 @@ def save_run(result: DedupResult, ds: rd.Dataset, out_dir: str) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     canonical = result.canonical(ds)
     canon_dir = os.path.join(out_dir, "canonical")
-    canonical.write_parquet(canon_dir)
+    # bound file count: the canonical filter job emits many tiny blocks
+    # (measured 256 files of ~375 rows for a 96k-row canonical — a
+    # downstream read then pays 256 task startups); coalescing to ~8k-row
+    # files keeps reads fast while leaving enough files for parallel
+    # re-reads (incremental runs re-read this table every increment)
+    canonical.write_parquet(canon_dir, min_rows_per_file=8_192)
 
     _write_pd(result.clusters, os.path.join(out_dir, "clusters"))
     _write_pd(result.audit, os.path.join(out_dir, "match_audit"))

@@ -21,6 +21,15 @@ object store, 8 B per index row, probed by vectorized searchsorted inside
 the pair stream before the dedupe shuffle). Cluster expansion joins the
 result against the base cluster table — bounded by the number of
 multi-member base clusters, the same order as the cluster table itself.
+
+Measured at 192k base + 48k shard (32 CPUs): the gate halves the
+verify/exact volume (verify_exec 2.1 -> 0.8-1.0 s, exact 1.7 -> 0.5 s vs
+the 240k from-scratch run) while index re-featurization (~5.6 s) keeps
+the toy-scale WALL comparable to a full re-run — the trade inverts at
+real scale, where verify dominates (52% of the 2M-row wall) and grows
+O(corpus x corpus) for re-runs vs O(new x index) here. Future
+optimization: persist the index FEATURES alongside ``canonical/`` so an
+increment re-featurizes only the new shard.
 """
 
 from __future__ import annotations
@@ -64,10 +73,18 @@ def dedup_images_incremental(
         read_corpus,
     )
 
+    import ray
+
     cfg = cfg or DedupConfig()
     canon_dir = os.path.join(base_dir, "canonical")
     clusters_dir = os.path.join(base_dir, "clusters")
-    base_canon = rd.read_parquet(canon_dir, columns=FEATURE_INPUT_COLS)
+    # the index re-reads every increment and feeds the (fused) signature
+    # stage — force enough read blocks that the stage parallelizes even
+    # when the index sits in a handful of coalesced files
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    base_canon = rd.read_parquet(
+        canon_dir, columns=FEATURE_INPUT_COLS, override_num_blocks=cpus * 2
+    )
     base_clusters = rd.read_parquet(clusters_dir).to_pandas()
 
     new_ds = read_corpus(new_input) if isinstance(new_input, str) else new_input
@@ -75,24 +92,26 @@ def dedup_images_incremental(
     new_ds = new_ds.select_columns(keep)
     base_canon = base_canon.select_columns(keep)
 
-    # conform BOTH sides to one Arrow schema before the union: the base side
-    # comes off parquet (large_string etc.) while the new side may have
-    # passed through pandas (object -> string) — mixed block schemas crash
-    # the zero-copy batcher inside the signature stage
+    # conform BOTH sides to one Arrow schema before the union when they
+    # differ: the base side comes off parquet (large_string etc.) while the
+    # new side may have passed through pandas (object -> string) — mixed
+    # block schemas crash the zero-copy batcher inside the signature stage.
+    # Parquet-to-parquet inputs usually already agree; skip the extra map
+    # stage then (it costs a full pass over both sides).
     import pyarrow as pa
 
-    target = pa.schema(
-        [
-            (c, pa.int64() if c == "phash" else pa.string())
-            for c in keep
-        ]
-    )
+    base_schema = base_canon.schema()
+    new_schema = new_ds.schema()
+    if [str(t) for t in base_schema.types] != [str(t) for t in new_schema.types]:
+        target = pa.schema(
+            [(c, pa.int64() if c == "phash" else pa.string()) for c in keep]
+        )
 
-    def conform(t: pa.Table) -> pa.Table:
-        return t.select(keep).cast(target)
+        def conform(t: pa.Table) -> pa.Table:
+            return t.select(keep).cast(target)
 
-    base_canon = base_canon.map_batches(conform, batch_format="pyarrow")
-    new_ds = new_ds.map_batches(conform, batch_format="pyarrow")
+        base_canon = base_canon.map_batches(conform, batch_format="pyarrow")
+        new_ds = new_ds.map_batches(conform, batch_format="pyarrow")
 
     # pair gate: uids of the base canonical rows. Ids-only collect, bounded
     # by the index size; above GATE_LIMIT run ungated (correct, slower).
@@ -116,53 +135,44 @@ def dedup_images_incremental(
     )
 
     # ---- expand result clusters through the base membership ----------------
-    # base canonical id -> its full base member list (multi-member clusters
-    # only; singletons expand to themselves)
-    base_members = {
-        r.cluster_id: r.members.split("|")
-        for r in base_clusters.itertuples()
-    }
-    touched_base: set[str] = set()
-    rows = []
-    for r in res.clusters.itertuples():
-        members: list[str] = []
-        absorbed: list[str] = []
-        for m in r.members.split("|"):
-            if m in base_members:
-                members.extend(base_members[m])
-                absorbed.append(m)
-                touched_base.add(m)
-            else:
-                members.append(m)
-        rows.append(
-            {
-                "cluster_id": r.cluster_id,
-                "survivor_id": r.survivor_id,
-                "cluster_size": len(members),
-                "members": "|".join(members),
-                "base_cluster_ids": "|".join(absorbed),
-            }
+    # vectorized explode/merge/regroup (a python loop over the cluster table
+    # costs seconds at 10^5 clusters): each result member that is a base
+    # CANONICAL of a multi-member cluster expands to that cluster's full
+    # member list; base singletons expand to themselves
+    rc = res.clusters
+    if len(rc):
+        exp = rc[["cluster_id", "survivor_id"]].assign(
+            member=rc["members"].str.split("|")
+        ).explode("member")
+        bm = base_clusters[["cluster_id", "members"]].rename(
+            columns={"cluster_id": "member", "members": "_base_members"}
+        )
+        exp = exp.merge(bm, on="member", how="left")
+        hit = exp["_base_members"].notna()
+        exp["_expanded"] = exp["_base_members"].where(hit, exp["member"])
+        touched_base = set(exp.loc[hit, "member"])
+        expanded = exp.groupby("cluster_id", sort=False).agg(
+            survivor_id=("survivor_id", "first"),
+            members=("_expanded", "|".join),
+            base_cluster_ids=(
+                "member",
+                lambda s: "|".join(s[hit.reindex(s.index, fill_value=False)]),
+            ),
+        ).reset_index()
+        expanded["cluster_size"] = expanded["members"].str.count(r"\|") + 1
+    else:
+        touched_base = set()
+        expanded = pd.DataFrame(
+            columns=["cluster_id", "survivor_id", "members",
+                     "base_cluster_ids", "cluster_size"]
         )
     # untouched base clusters carry over verbatim
-    for r in base_clusters.itertuples():
-        if r.cluster_id not in touched_base:
-            rows.append(
-                {
-                    "cluster_id": r.cluster_id,
-                    "survivor_id": r.survivor_id,
-                    "cluster_size": r.cluster_size,
-                    "members": r.members,
-                    "base_cluster_ids": r.cluster_id,
-                }
-            )
+    carry = base_clusters[~base_clusters["cluster_id"].isin(touched_base)].copy()
+    carry["base_cluster_ids"] = carry["cluster_id"]
+    cols = ["cluster_id", "survivor_id", "cluster_size", "members",
+            "base_cluster_ids"]
     out = (
-        pd.DataFrame(
-            rows,
-            columns=[
-                "cluster_id", "survivor_id", "cluster_size", "members",
-                "base_cluster_ids",
-            ],
-        )
+        pd.concat([expanded[cols], carry[cols]], ignore_index=True)
         .sort_values("cluster_id")
         .reset_index(drop=True)
     )
