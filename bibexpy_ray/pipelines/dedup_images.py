@@ -895,6 +895,12 @@ def dedup_images(
             # BEFORE the dedupe shuffle so they never move again. The gate is
             # one sorted uint64 array in the object store (8 B per base
             # canonical row), read zero-copy per task.
+            # Residual risk, accepted: the gate matches on the 64-bit uid
+            # alone (the pair stream carries uids, not id strings — a string
+            # guard would need the feature join this gate exists to avoid).
+            # A new row whose uid collides with a base uid would have its
+            # base-side pairs dropped (a missed merge, never a wrong merge);
+            # P < n_new * n_base / 2^64, ~1e-5 even at GATE_LIMIT.
             gate_ref = ray.put(
                 np.sort(np.asarray(skip_pairs_within, dtype=np.uint64))
             )

@@ -144,20 +144,26 @@ def dedup_images_incremental(
         exp = rc[["cluster_id", "survivor_id"]].assign(
             member=rc["members"].str.split("|")
         ).explode("member")
-        bm = base_clusters[["cluster_id", "members"]].rename(
-            columns={"cluster_id": "member", "members": "_base_members"}
+        # the index rows fed into the incremental run are the base clusters'
+        # SURVIVORS (rank winners), not their cluster_ids (CC min members) —
+        # join on survivor_id or the expansion silently misses every cluster
+        # whose min-id member lost the survivor rank (e.g. a jpeg min id
+        # beaten by a png member)
+        bm = base_clusters[["cluster_id", "survivor_id", "members"]].rename(
+            columns={
+                "survivor_id": "member",
+                "cluster_id": "_base_cid",
+                "members": "_base_members",
+            }
         )
         exp = exp.merge(bm, on="member", how="left")
         hit = exp["_base_members"].notna()
         exp["_expanded"] = exp["_base_members"].where(hit, exp["member"])
-        touched_base = set(exp.loc[hit, "member"])
+        touched_base = set(exp.loc[hit, "_base_cid"])
         expanded = exp.groupby("cluster_id", sort=False).agg(
             survivor_id=("survivor_id", "first"),
             members=("_expanded", "|".join),
-            base_cluster_ids=(
-                "member",
-                lambda s: "|".join(s[hit.reindex(s.index, fill_value=False)]),
-            ),
+            base_cluster_ids=("_base_cid", lambda s: "|".join(s.dropna())),
         ).reset_index()
         expanded["cluster_size"] = expanded["members"].str.count(r"\|") + 1
     else:

@@ -176,7 +176,12 @@ class RunDir:
             # to path-only — object stores version by key, not mtime.
             try:
                 st = os.stat(path)
-                return [path, st.st_size, int(st.st_mtime)]
+                # nanosecond mtime: whole-second granularity would resume
+                # stale features for a corpus regenerated in place with the
+                # same size within one second — the exact case the
+                # fingerprint exists to catch
+                mtime = getattr(st, "st_mtime_ns", None) or int(st.st_mtime * 1e9)
+                return [path, st.st_size, int(mtime)]
             except OSError:
                 return [path]
 

@@ -61,6 +61,43 @@ def test_incremental_matches_full_run(corpus_table, tmp_path, ray_session):
     assert metrics["candidate_edges"] > 0
 
 
+def test_incremental_survivor_not_min_id(tmp_path, ray_session):
+    # adversarial shape: rename every png in a cohort's main cluster with a
+    # 'z' prefix so the jpeg re-encode (off 2) holds the cluster's MIN id —
+    # cluster_id (CC min member) != survivor_id (png rank winner). The
+    # expansion must still splice the base members (it joins on survivor_id,
+    # the row the incremental run actually consumed).
+    cfg = DedupConfig()
+    tbl = synth.CorpusGen(42).rows(range(12))
+    ids = tbl.column("image_id").to_pylist()
+    new_ids = [iid if i % 12 == 2 else "z" + iid for i, iid in enumerate(ids)]
+    col = tbl.schema.get_field_index("image_id")
+    tbl = tbl.set_column(col, "image_id", pa.array(new_ids, type=pa.string()))
+
+    idx = np.arange(12)
+    base_tbl = tbl.take(pa.array(idx[idx != 3]))
+    new_tbl = tbl.take(pa.array(idx[idx == 3]))  # near-dup caption of base
+
+    base_res = dedup_images(rd.from_arrow(base_tbl), cfg)
+    main = base_res.clusters.loc[
+        base_res.clusters["cluster_size"].idxmax()
+    ]
+    assert main["survivor_id"] != main["cluster_id"]  # the shape under test
+
+    base_dir = str(tmp_path / "base_run")
+    save_run(base_res, rd.from_arrow(base_tbl), base_dir)
+    clusters, metrics = dedup_images_incremental(
+        base_dir, rd.from_arrow(new_tbl), cfg
+    )
+
+    full = dedup_images(rd.from_arrow(tbl), cfg)
+    assert _cluster_sets(clusters) == _cluster_sets(full.clusters)
+    assert metrics["base_clusters_touched"] == 1
+    # no member may land in two clusters (the bug double-assigned survivors)
+    flat = [m for ms in clusters["members"] for m in ms.split("|")]
+    assert len(flat) == len(set(flat))
+
+
 def test_incremental_disjoint_shard_appends_only(corpus_table, tmp_path, ray_session):
     # a new shard with NO relation to the base (different cohort range):
     # base clusters must carry over verbatim and the new shard must cluster
