@@ -64,14 +64,14 @@ def cmd_dedup_incr(args: argparse.Namespace) -> int:
     tune_data_context(payload="binary")
     from bibexpy_ray.pipelines.incremental import dedup_images_incremental
 
-    clusters, metrics = dedup_images_incremental(
+    clusters_ds, metrics = dedup_images_incremental(
         args.base, args.input, DedupConfig(), run_dir=args.checkpoints
     )
     import os
 
     os.makedirs(args.out, exist_ok=True)
     out_path = os.path.join(args.out, "clusters")
-    rd.from_pandas(clusters).write_parquet(out_path)
+    clusters_ds.write_parquet(out_path)
     print(json.dumps({"metrics": metrics, "clusters": out_path}))
     ray.shutdown()
     return 0

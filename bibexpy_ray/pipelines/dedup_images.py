@@ -248,6 +248,13 @@ class DedupResult:
     borderline_ds: rd.Dataset       # id_a, id_b, confidence, similarity
     audit_ds: rd.Dataset            # verified edges (all stages)
     metrics: dict
+    #: FULL signature table (every input row) — retained so save_run can
+    #: persist the CANONICAL rows' features (``filter_losers`` of this — the
+    #: cluster-loser set subsumes exact losers, which are cluster members
+    #: via the exact edges, EXCEPT when an exact loser wins the survivor
+    #: rank, which is exactly why the reps table would be wrong here) and an
+    #: incremental run can skip re-featurizing the whole index
+    features_ds: "rd.Dataset | None" = None
 
     def __post_init__(self):
         self._cache: dict[str, object] = {}
@@ -380,73 +387,137 @@ class DedupResult:
             conflicts_ds.to_pandas(),
         )
 
-    def canonical(self, ds: rd.Dataset) -> rd.Dataset:
-        """Survivor rows only (losers filtered out), with cluster_id attached.
+    def filter_losers(self, ds: rd.Dataset) -> rd.Dataset:
+        """Drop cluster losers (members minus survivors) from ``ds``.
 
-        Losers = cluster members minus survivors. Below the broadcast limit
-        they filter via uid-sorted arrays (one object-store copy, vectorized
-        searchsorted); at scale via an anti-join against the loser labels —
-        either way the full dataset streams through one pass and image bytes
-        never shuffle.
+        Below the broadcast limit the loser set derives Arrow-natively
+        (``pc.is_in`` on the member column — no Python loop over members) and
+        filters via uid-sorted arrays (one object-store copy, vectorized
+        searchsorted with an exact-string guard). At scale, two co-partition
+        passes over the raw-task hash shuffle (``Dataset.join`` reserves an
+        aggregator actor pool sized by num_partitions — measured deadlocking
+        small clusters, see stages/unionfind.py): labels anti survivors
+        derives the loser marks, then ``ds`` anti the marks. Either way the
+        dataset streams through one filter pass.
         """
+        import pyarrow.compute as pc
+
         from bibexpy_ray.functions.hashing import text_hash_u64
 
         if self.labels.is_broadcast:
-            survivors = set(
+            members = self.labels._members  # uid-sorted, aligned with _uids
+            if len(members) == 0:
+                return ds
+            surv = (
                 self.clusters_ds.select_columns(["survivor_id"])
                 .to_pandas()["survivor_id"]
+            )  # bounded: one row per cluster
+            is_surv = pc.is_in(
+                members, value_set=pa.array(surv, type=members.type)
             )
-            losers = np.array(
-                [m for m in self.labels._members.to_pylist() if m not in survivors],
-                dtype=object,
-            )
-            if len(losers):
-                lh = text_hash_u64(list(losers))
-                order = np.argsort(lh, kind="stable")
-                luids, lnames = lh[order], losers[order]
-            else:
-                luids = lnames = None
+            lose_mask = pc.fill_null(pc.invert(is_surv), True)
+            lnames = members.filter(lose_mask)
+            if len(lnames) == 0:
+                return ds
+            # _uids is sorted and aligned with members: the filtered slice
+            # stays sorted, so no re-sort is needed
+            luids = self.labels._uids[
+                lose_mask.to_numpy(zero_copy_only=False).astype(bool)
+            ]
+            lose_ref = ray.put((luids, lnames))
 
-            def keep(batch: pd.DataFrame) -> pd.DataFrame:
-                if luids is None:
-                    return batch
-                ids = batch["image_id"].to_numpy(dtype=object)
-                h = text_hash_u64(list(ids))
-                pos = np.minimum(np.searchsorted(luids, h), len(luids) - 1)
-                hit = luids[pos] == h
+            def keep(batch: pa.Table) -> pa.Table:
+                uids, names = ray.get(lose_ref)
+                ids = batch.column("image_id")
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                h = text_hash_u64(ids)
+                pos = np.minimum(np.searchsorted(uids, h), len(uids) - 1)
+                hit = uids[pos] == h
                 # exact-string guard on hash hits: a 64-bit collision with a
                 # loser's uid must not silently delete an unrelated record
                 # (same invariant ClusterLabels.attach enforces)
                 if hit.any():
-                    hit[hit] = lnames[pos[hit]] == ids[hit]
-                return batch[~hit]
+                    eq = pc.equal(
+                        names.take(pa.array(pos[hit])),
+                        ids.filter(pa.array(hit)),
+                    ).to_numpy(zero_copy_only=False)
+                    hit[hit] = eq.astype(bool)
+                return batch.filter(pa.array(~hit))
 
-            return self.labels.attach(
-                ds.map_batches(keep, batch_format="pandas")
-            )
-        # scale path: anti-join against loser labels (members minus survivors)
-        survivors_ds = self.clusters_ds.select_columns(["survivor_id"]).map_batches(
+            return ds.map_batches(keep, batch_format="pyarrow")
+        # scale path: two co-partition anti passes (no driver structure)
+        from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+        n_parts = max(8, len(self.labels) // 500_000)
+
+        def key(t: pa.Table) -> np.ndarray:
+            ids = t.column("image_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return (text_hash_u64(ids) % np.uint64(n_parts)).astype(np.int32)
+
+        surv_marks = self.clusters_ds.select_columns(["survivor_id"]).map_batches(
             lambda df: pd.DataFrame(
                 {"image_id": df["survivor_id"], "_surv": True}
             ),
             batch_format="pandas",
         )
         labels_ds = self.labels.to_dataset()
-        n_parts = max(8, len(self.labels) // 500_000)
-        losers_ds = labels_ds.join(
-            survivors_ds, "left_outer", n_parts, on=("image_id",)
-        ).map_batches(
-            lambda df: pd.DataFrame(
-                {"image_id": df.loc[df["_surv"].isna(), "image_id"], "_lose": True}
-            ),
-            batch_format="pandas",
+
+        def losers_part(part: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "image_id": pd.Series([], dtype=object),
+                    "_lose": pd.Series([], dtype=bool),
+                }
+            )
+            if "cluster_id" not in part.columns or len(part) == 0:
+                return empty  # no label rows landed here
+            is_lab = part["cluster_id"].notna()
+            lab = part.loc[is_lab]
+            surv = (
+                set(part.loc[part["_surv"].notna(), "image_id"])
+                if "_surv" in part.columns
+                else set()
+            )
+            lose = lab.loc[~lab["image_id"].isin(surv)]
+            return pd.DataFrame({"image_id": lose["image_id"], "_lose": True})
+
+        losers_ds = hash_partition_apply(
+            labels_ds.union(surv_marks),
+            n_parts,
+            losers_part,
+            key_fn=key,
+            empty_like=losers_part(pd.DataFrame()),
         )
-        joined = ds.join(losers_ds, "left_outer", n_parts, on=("image_id",))
-        kept = joined.map_batches(
-            lambda df: df[df["_lose"].isna()].drop(columns=["_lose"]),
-            batch_format="pandas",
+
+        # arrow-mode reduce: the data side may carry int32/int64/binary
+        # columns — a pandas hop here would float-promote ints nulled by the
+        # schema union with the 2-column mark rows
+        def drop_part(t: pa.Table) -> pa.Table:
+            if "_lose" not in t.schema.names:
+                return t
+            is_mark = pc.is_valid(t.column("_lose"))
+            data = t.filter(pc.invert(is_mark)).drop_columns(["_lose"])
+            marks = t.filter(is_mark)
+            if marks.num_rows == 0 or data.num_rows == 0:
+                return data
+            lose_ids = marks.column("image_id")
+            if isinstance(lose_ids, pa.ChunkedArray):
+                lose_ids = lose_ids.combine_chunks()
+            keep_mask = pc.invert(
+                pc.is_in(data.column("image_id"), value_set=lose_ids)
+            )
+            return data.filter(pc.fill_null(keep_mask, True))
+
+        return hash_partition_apply(
+            ds.union(losers_ds), n_parts, drop_part, key_fn=key, arrow=True
         )
-        return self.labels.attach(kept)
+
+    def canonical(self, ds: rd.Dataset) -> rd.Dataset:
+        """Survivor rows only (losers filtered out), with cluster_id attached."""
+        return self.labels.attach(self.filter_losers(ds))
 
 
 def _exact_group_edges(group: pd.DataFrame) -> pd.DataFrame:
@@ -525,6 +596,7 @@ def dedup_images(
     run_dir: Optional[str] = None,
     survivor_rank_fn=None,
     skip_pairs_within: "np.ndarray | None" = None,
+    extra_features: "rd.Dataset | None" = None,
 ) -> DedupResult:
     """Run the full near-duplicate pipeline. ``ds`` must have IMAGE_SCHEMA columns
     (bytes optional — never read here). Returns cluster assignments + side outputs.
@@ -546,6 +618,12 @@ def dedup_images(
     verify stage — used when those rows are a base run's survivor index and
     pairs among them were already adjudicated. Not part of the checkpoint
     config: give incremental runs their own ``run_dir``.
+
+    ``extra_features`` (incremental mode): an already-SIGNED feature table
+    (the signature stage's output schema, e.g. a base run's persisted
+    ``features/``) unioned in after ``ds``'s signature stage — the index
+    never re-featurizes. Rows in ``extra_features`` must be disjoint from
+    ``ds``.
     """
     import time as _time
 
@@ -622,6 +700,10 @@ def dedup_images(
         )
     else:
         features = checkpoint("features", lambda: compute_features(ds, cfg))
+    if extra_features is not None:
+        # incremental mode: the pre-signed index features union in AFTER the
+        # signature stage — only the new shard paid featurization above
+        features = features.union(extra_features)
     # Pin the feature table (ids + signatures, bytes excluded — bounded at
     # ~1.1 KB/row) in the object store: five downstream consumers read it, and
     # without pinning each one would either re-run the signature stage (no
@@ -1273,6 +1355,7 @@ def dedup_images(
         borderline_ds=borderline_ds,
         audit_ds=verified,
         metrics=metrics,
+        features_ds=features,
     )
 
 

@@ -50,6 +50,18 @@ def save_run(result: DedupResult, ds: rd.Dataset, out_dir: str) -> dict:
     # re-reads (incremental runs re-read this table every increment)
     canonical.write_parquet(canon_dir, min_rows_per_file=8_192)
 
+    # persist the canonical rows' FEATURES (signature-stage schema) so an
+    # incremental run re-featurizes only its new shard — the index reads its
+    # signatures straight off this table (pipelines/incremental.py)
+    outputs = ["canonical", "clusters", "match_audit", "borderline_queue",
+               "exports/clusters.tsv"]
+    if result.features_ds is not None:
+        feat_dir = os.path.join(out_dir, "features")
+        result.filter_losers(result.features_ds).write_parquet(
+            feat_dir, min_rows_per_file=8_192
+        )
+        outputs.append("features")
+
     _write_pd(result.clusters, os.path.join(out_dir, "clusters"))
     _write_pd(result.audit, os.path.join(out_dir, "match_audit"))
     _write_pd(result.borderline, os.path.join(out_dir, "borderline_queue"))
@@ -64,8 +76,7 @@ def save_run(result: DedupResult, ds: rd.Dataset, out_dir: str) -> dict:
         "rows_canonical": n_canonical,
         "n_clusters": int(len(result.clusters)),
         "n_borderline": int(len(result.borderline)),
-        "outputs": ["canonical", "clusters", "match_audit", "borderline_queue",
-                    "exports/clusters.tsv"],
+        "outputs": outputs,
     }
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:

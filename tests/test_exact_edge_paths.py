@@ -47,6 +47,27 @@ def test_distributed_cc_unions_exact_edge_dataset(monkeypatch):
     assert dist.metrics["clusters"] == base.metrics["clusters"]
 
 
+def test_canonical_scale_path_matches_broadcast(monkeypatch):
+    """canonical()'s loser filter must produce identical rows on the
+    broadcast path (driver-CC labels, uid-sorted arrays) and the scale path
+    (distributed-CC labels, two co-partition anti passes over the raw-task
+    shuffle — Dataset.join is banned here, it deadlocks small clusters)."""
+    table = synth.CorpusGen(42).rows(range(N_ROWS))
+
+    def canon_pairs(result):
+        df = result.canonical(
+            rd.from_arrow(table).drop_columns(["bytes"])
+        ).to_pandas()
+        return sorted(zip(df["image_id"], df["cluster_id"]))
+
+    base = _run(monkeypatch)
+    assert base.labels.is_broadcast
+    pairs_b = canon_pairs(base)
+    dist = _run(monkeypatch, LOSER_BROADCAST_LIMIT=0, DRIVER_EDGE_LIMIT=0)
+    assert not dist.labels.is_broadcast  # the path under test
+    assert canon_pairs(dist) == pairs_b
+
+
 def test_cc_gate_counts_auto_edges_not_all_verified(monkeypatch):
     """The DRIVER_EDGE_LIMIT gate must count the edges CC consumes (auto +
     exact), NOT the whole verified table — borderline rows never enter CC.

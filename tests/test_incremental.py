@@ -45,9 +45,10 @@ def test_incremental_matches_full_run(corpus_table, tmp_path, ray_session):
     base_dir = str(tmp_path / "base_run")
     save_run(base_res, rd.from_arrow(base_tbl), base_dir)
 
-    clusters, metrics = dedup_images_incremental(
+    clusters_ds, metrics = dedup_images_incremental(
         base_dir, rd.from_arrow(new_tbl), cfg
     )
+    clusters = clusters_ds.to_pandas()
 
     # every base member must still be clustered with its base peers, and
     # the final partition must equal the from-scratch run over the union
@@ -59,6 +60,8 @@ def test_incremental_matches_full_run(corpus_table, tmp_path, ray_session):
     )
     # the gate did real work: candidate pairs exclude the base-only ones
     assert metrics["candidate_edges"] > 0
+    # the base run persisted features: the increment must not re-sign them
+    assert metrics["index_featurized"] is False
 
 
 def test_incremental_survivor_not_min_id(tmp_path, ray_session):
@@ -86,9 +89,10 @@ def test_incremental_survivor_not_min_id(tmp_path, ray_session):
 
     base_dir = str(tmp_path / "base_run")
     save_run(base_res, rd.from_arrow(base_tbl), base_dir)
-    clusters, metrics = dedup_images_incremental(
+    clusters_ds, metrics = dedup_images_incremental(
         base_dir, rd.from_arrow(new_tbl), cfg
     )
+    clusters = clusters_ds.to_pandas()
 
     full = dedup_images(rd.from_arrow(tbl), cfg)
     assert _cluster_sets(clusters) == _cluster_sets(full.clusters)
@@ -111,10 +115,31 @@ def test_incremental_disjoint_shard_appends_only(corpus_table, tmp_path, ray_ses
     save_run(base_res, rd.from_arrow(base_tbl), base_dir)
 
     alone = dedup_images(rd.from_arrow(new_tbl), cfg)
-    clusters, metrics = dedup_images_incremental(
+    clusters_ds, metrics = dedup_images_incremental(
         base_dir, rd.from_arrow(new_tbl), cfg
     )
+    clusters = clusters_ds.to_pandas()
     assert _cluster_sets(clusters) == (
         _cluster_sets(base_res.clusters) | _cluster_sets(alone.clusters)
     )
     assert metrics["base_clusters_touched"] == 0
+
+
+def test_incremental_legacy_base_without_features(corpus_table, tmp_path, ray_session):
+    # a base run saved by an older version (no features/) must still fold
+    # shards correctly via the re-sign fallback
+    import shutil
+
+    base_tbl, new_tbl = _split(corpus_table)
+    cfg = DedupConfig()
+    full = dedup_images(rd.from_arrow(corpus_table), cfg)
+    base_res = dedup_images(rd.from_arrow(base_tbl), cfg)
+    base_dir = str(tmp_path / "base_run")
+    save_run(base_res, rd.from_arrow(base_tbl), base_dir)
+    shutil.rmtree(f"{base_dir}/features")
+
+    clusters_ds, metrics = dedup_images_incremental(
+        base_dir, rd.from_arrow(new_tbl), cfg
+    )
+    assert metrics["index_featurized"] is True
+    assert _cluster_sets(clusters_ds.to_pandas()) == _cluster_sets(full.clusters)
