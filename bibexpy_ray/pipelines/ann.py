@@ -154,7 +154,10 @@ def ivf_build(
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
-        mtime = int(os.stat(src).st_mtime)
+        st = os.stat(src)
+        # nanosecond granularity: a regenerated same-size file within the
+        # same second must invalidate the cached index (checkpoint.py:183)
+        mtime = getattr(st, "st_mtime_ns", None) or int(st.st_mtime * 1e9)
     except OSError:
         mtime = 0
     sf = os.path.basename(sf_dir.rstrip("/"))
@@ -342,8 +345,10 @@ def _cosine_verify_ds(
     Below ``BROADCAST_VEC_LIMIT`` vectors, the normalized matrix broadcasts
     uid-sorted (``ray.put`` once — a dense float block, not an object-heavy
     dict) and pairs probe it with a guarded searchsorted. Above it, the
-    embeddings hash-join to each pair side (the same two-sided join pattern as
-    docdedup._verify_jaccard_ds) — no whole-corpus collect at any scale."""
+    embeddings co-partition to each pair side via the raw-task hash shuffle
+    (``stages.shuffle.attach_pair_side``, same shape as
+    docdedup._verify_jaccard_ds — ``Dataset.join`` deadlocks small clusters,
+    BASELINE.md round 3) — no whole-corpus collect at any scale."""
     pairs = pairs.map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
     )
@@ -371,20 +376,49 @@ def _cosine_verify_ds(
             return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
 
         return pairs.map_batches(verify, batch_format="pandas")
-    # scale path: hash-partitioned joins of the vectors to each pair side
-    n_parts = max(8, n_vecs // 500_000)  # pragma: no cover - scale path
+    # scale path: co-partition the vectors to each pair side (raw-task hash
+    # shuffle in arrow mode — list<float> embeddings survive the reduce with
+    # no pandas object hop; reduce outputs re-split into bounded blocks so
+    # the scoring task pool stays wide)
+    from bibexpy_ray.stages.shuffle import attach_pair_side
 
-    def side(key: str):
-        return ds.map_batches(
-            lambda df, k=key: df.rename(columns={"vec_id": k, "embedding": f"emb{k[2:]}"}),
-            batch_format="pandas",
-        )
-
-    joined = pairs.join(side("id_a"), "inner", n_parts, on=("id_a",)).join(
-        side("id_b"), "inner", n_parts, on=("id_b",)
+    cpus_now = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(8, cpus_now * 2, n_vecs // 500_000)
+    ids64 = pa.array([], pa.int64())
+    emb_type = pa.list_(pa.float32())
+    emb = pa.array([], emb_type)
+    with_a = attach_pair_side(
+        pairs,
+        ds,
+        "id_a",
+        "vec_id",
+        {"embedding": "emb_a"},
+        n_parts,
+        ["id_a", "id_b"],
+        empty_like=pa.table({"id_a": ids64, "id_b": ids64, "emb_a": emb}),
+    )
+    joined = attach_pair_side(
+        with_a,
+        ds,
+        "id_b",
+        "vec_id",
+        {"embedding": "emb_b"},
+        n_parts,
+        ["id_a", "id_b", "emb_a"],
+        empty_like=pa.table(
+            {"id_a": ids64, "id_b": ids64, "emb_a": emb, "emb_b": emb}
+        ),
+        rows_per_block=100_000,
     )
 
     def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                }
+            )
         na = _normalize(np.vstack([np.asarray(v, np.float64) for v in batch["emb_a"]]))
         nb = _normalize(np.vstack([np.asarray(v, np.float64) for v in batch["emb_b"]]))
         keep = np.einsum("ij,ij->i", na, nb) >= tau

@@ -488,9 +488,10 @@ def _verify_jaccard_ds(
 
     Below ``BROADCAST_DOC_LIMIT`` docs the (doc_id, text) table broadcasts as
     uid-sorted arrays (``ray.put`` — one copy per node, vectorized searchsorted
-    probes with an exact-match guard). Above it, the texts hash-join to the
-    pair stream side by side (the flagship's equivalence-tested join pattern,
-    dedup_images.py verify_stage) — no whole-corpus collect at any scale.
+    probes with an exact-match guard). Above it, the texts co-partition to the
+    pair stream side by side via the raw-task hash shuffle
+    (``stages.shuffle.attach_pair_side`` — ``Dataset.join`` deadlocks small
+    clusters, BASELINE.md round 3) — no whole-corpus collect at any scale.
     Candidate pairs are a tiny post-LSH fraction, so the per-pair set
     intersection is off the hot path (the reference verifies the same way —
     per-candidate Jaro-Winkler, smart_merger.py:641-651).
@@ -522,17 +523,37 @@ def _verify_jaccard_ds(
             )
 
         return pairs.map_batches(verify, batch_format="pandas")
-    # scale path: hash-partitioned joins of the text table to each pair side
-    n_parts = max(8, n_docs // 500_000)
+    # scale path: co-partition the text table to each pair side (raw-task
+    # hash shuffle; reduce outputs re-split into bounded blocks so the verify
+    # task pool stays wide — the flagship's verify_stage shape)
+    from bibexpy_ray.stages.shuffle import attach_pair_side
 
-    def side(key: str):
-        return docs.map_batches(
-            lambda df, k=key: df.rename(columns={"doc_id": k, "text": f"text{k[2:]}"}),
-            batch_format="pandas",
-        )
-
-    joined = pairs.join(side("id_a"), "inner", n_parts, on=("id_a",)).join(
-        side("id_b"), "inner", n_parts, on=("id_b",)
+    cpus_now = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(8, cpus_now * 2, n_docs // 500_000)
+    ids64 = pa.array([], pa.int64())
+    txt = pa.array([], pa.string())
+    with_a = attach_pair_side(
+        pairs,
+        docs,
+        "id_a",
+        "doc_id",
+        {"text": "text_a"},
+        n_parts,
+        ["id_a", "id_b"],
+        empty_like=pa.table({"id_a": ids64, "id_b": ids64, "text_a": txt}),
+    )
+    joined = attach_pair_side(
+        with_a,
+        docs,
+        "id_b",
+        "doc_id",
+        {"text": "text_b"},
+        n_parts,
+        ["id_a", "id_b", "text_a"],
+        empty_like=pa.table(
+            {"id_a": ids64, "id_b": ids64, "text_a": txt, "text_b": txt}
+        ),
+        rows_per_block=100_000,
     )
 
     def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:

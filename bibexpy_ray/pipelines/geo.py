@@ -243,8 +243,22 @@ def country_blocks(
     tokens (minus org-looking/postal tokens) greedy-clustered by Jaro-Winkler
     ≥ ``sim_threshold``. Returns one row per proposal cluster:
     (cluster_id, tier, canonical_name, variants, n_records).
+
+    Scale shape (same as ``org_rollup_blocks``): mention rows never collect
+    on the driver — they pre-deduplicate per batch, coarse-hash-partition on
+    the group key (canon for resolved, lowercase token for unresolved) so
+    each group's mentions colocate, and the per-partition reduce emits only
+    proposal rows (Tier 1) / one row per distinct unknown token (Tier 2
+    input). Only the Tier-2 greedy clustering runs on the driver, over the
+    unique unknown-token vocabulary (bounded by the country-ish token space,
+    not the corpus).
     """
+    from bibexpy_ray.functions import hashing
     from bibexpy_ray.pipelines.entity import greedy_cluster
+    from bibexpy_ray.stages.shuffle import hash_partition_apply
+
+    cols = ["cluster_id", "tier", "canonical_name", "variants", "n_records"]
+    mid_cols = cols + ["_tok"]
 
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -260,51 +274,92 @@ def country_blocks(
                     continue  # never send orgs/postals to Tier 2
                 rows.append(
                     {
+                        "key": canon if canon else t.lower(),
                         "token": t,
                         "canon": canon or "",
                         "rid": rid,
                     }
                 )
-        return pd.DataFrame(rows, columns=["token", "canon", "rid"])
+        out = pd.DataFrame(rows, columns=["key", "token", "canon", "rid"])
+        # per-batch combiner: the shuffle carries distinct mentions only
+        return out.drop_duplicates(subset=["key", "token", "rid"])
 
-    mentions = ds.map_batches(extract, batch_format="pandas").to_pandas()
-    out_rows: list[dict] = []
-    resolved = mentions[mentions["canon"] != ""]
-    for canon, g in resolved.groupby("canon"):
-        variants = sorted(set(g["token"]))
-        if all(v.strip().lower() == canon.lower() for v in variants):
-            continue  # already canonical everywhere
-        out_rows.append(
-            {
-                "cluster_id": f"country_{canon.lower().replace(' ', '_')}",
-                "tier": 1,
-                "canonical_name": canon,
-                "variants": "; ".join(variants),
-                "n_records": int(g["rid"].nunique()),
-            }
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = hashing.text_hash_u64(batch.column("key"))
+        return batch.append_column(
+            "_part",
+            pa.array((h % np.uint64(n_parts)).astype(np.int32), type=pa.int32()),
         )
-    unresolved = mentions[mentions["canon"] == ""]
-    if len(unresolved):
-        uniq = (
-            unresolved.groupby(unresolved["token"].str.lower())
-            .agg(token=("token", "first"), n=("rid", "nunique"))
-            .reset_index(drop=True)
-        )
-        toks = uniq["token"].tolist()
-        for ci, comp in enumerate(greedy_cluster([t.lower() for t in toks], sim_threshold)):
-            out_rows.append(
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        rows: list[dict] = []
+        resolved = part[part["canon"] != ""]
+        for canon, g in resolved.groupby("canon"):
+            variants = sorted(set(g["token"]))
+            if all(v.strip().lower() == canon.lower() for v in variants):
+                continue  # already canonical everywhere
+            rows.append(
+                {
+                    "cluster_id": f"country_{canon.lower().replace(' ', '_')}",
+                    "tier": 1,
+                    "canonical_name": canon,
+                    "variants": "; ".join(variants),
+                    "n_records": int(g["rid"].nunique()),
+                    "_tok": "",
+                }
+            )
+        unresolved = part[part["canon"] == ""]
+        # tier-2 INPUT rows: one per distinct unknown token (deterministic
+        # min-cased representative); global clustering happens on the driver
+        for low, g in unresolved.groupby("key"):
+            rows.append(
+                {
+                    "cluster_id": "",
+                    "tier": -1,
+                    "canonical_name": "",
+                    "variants": min(g["token"]),
+                    "n_records": int(g["rid"].nunique()),
+                    "_tok": str(low),
+                }
+            )
+        return pd.DataFrame(rows, columns=mid_cols)
+
+    reduced = hash_partition_apply(
+        ds.map_batches(extract, batch_format="pandas").map_batches(
+            add_part, batch_format="pyarrow"
+        ),
+        n_parts,
+        per_part,
+        empty_like=pd.DataFrame(
+            {c: pd.Series([], dtype=(np.int64 if c in ("tier", "n_records") else object)) for c in mid_cols}
+        ),
+    ).to_pandas()
+    out_rows = reduced[reduced["tier"] == 1].drop(columns=["_tok"])
+    unres = reduced[reduced["tier"] == -1].sort_values("_tok")
+    tier2_rows: list[dict] = []
+    if len(unres):
+        toks = unres["variants"].tolist()
+        ns = unres["n_records"].to_numpy(dtype=np.int64)
+        for ci, comp in enumerate(
+            greedy_cluster([t.lower() for t in toks], sim_threshold)
+        ):
+            tier2_rows.append(
                 {
                     "cluster_id": f"country_u_{ci}",
                     "tier": 2,
                     "canonical_name": "",
                     "variants": "; ".join(sorted(toks[i] for i in comp)),
-                    "n_records": int(uniq["n"].iloc[list(comp)].sum()),
+                    "n_records": int(ns[list(comp)].sum()),
                 }
             )
-    cols = ["cluster_id", "tier", "canonical_name", "variants", "n_records"]
-    if not out_rows:
+    out = pd.concat(
+        [out_rows, pd.DataFrame(tier2_rows, columns=cols)], ignore_index=True
+    )
+    if not len(out):
         return pd.DataFrame(columns=cols)
-    return pd.DataFrame(out_rows)[cols].sort_values("cluster_id").reset_index(drop=True)
+    out["tier"] = out["tier"].astype(np.int64)
+    out["n_records"] = out["n_records"].astype(np.int64)
+    return out[cols].sort_values("cluster_id").reset_index(drop=True)
 
 
 def org_rollup_blocks(

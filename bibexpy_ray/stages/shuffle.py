@@ -220,3 +220,88 @@ def _reduce_split_task(fn, part_col, rows_per_block, empty_like, arrow, *parts: 
             yield sl.take(pa.array(np.arange(sl.num_rows, dtype=np.int64)))
         else:
             yield pa.Table.from_pandas(sl.to_pandas(), preserve_index=False)
+
+
+def attach_pair_side(
+    probe: rd.Dataset,
+    side: rd.Dataset,
+    key: str,
+    side_key: str,
+    payload: dict[str, str],
+    num_partitions: int,
+    carry_cols: list[str],
+    empty_like: pa.Table,
+    rows_per_block: int | None = None,
+) -> rd.Dataset:
+    """Attach ``payload`` columns from ``side`` to ``probe`` rows on ``key``.
+
+    The co-partition replacement for ``Dataset.join`` on pair streams
+    (semantics reimplemented, NOT copied — reference joins in pandas,
+    /root/reference/apps/api/services/merger.py): ``Dataset.join`` reserves an
+    aggregator ACTOR pool sized by num_partitions, which cannot schedule on
+    small clusters (measured deadlock, BASELINE.md round 3), and its pandas
+    hop promotes int columns with nulls to float64. Here both sides ride ONE
+    raw-task hash shuffle (``hash_partition_apply``, arrow mode — exact
+    types) and meet in a vectorized sorted-probe reduce.
+
+    - ``probe``: pair stream; ``key`` ("id_a"/"id_b") is an integer column.
+    - ``side``: lookup table with ``side_key`` + the ``payload`` source cols;
+      payload maps source column → output column (e.g. text → text_a).
+    - ``carry_cols``: probe columns preserved in the output (in order).
+    - ``empty_like``: zero-row exemplar of the OUTPUT schema (reduce output
+      for empty partitions and the zero-block input case).
+    - Inner-join semantics with an exact-match guard: probe rows whose key is
+      absent from ``side`` drop (never join a colliding row's payload).
+    """
+    import pyarrow.compute as pc
+
+    from bibexpy_ray.functions import hashing as _hashing
+
+    P = int(num_partitions)
+
+    def side_prep(t: pa.Table) -> pa.Table:
+        cols: dict = {key: t.column(side_key)}
+        for src, dst in payload.items():
+            cols[dst] = t.column(src)
+        cols["_side"] = pa.array(np.ones(t.num_rows, dtype=bool))
+        return pa.table(cols)
+
+    tagged = side.map_batches(side_prep, batch_format="pyarrow")
+
+    def key_fn(t: pa.Table) -> np.ndarray:
+        u = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (_hashing.splitmix64(u) % np.uint64(P)).astype(np.int32)
+
+    out_payload = list(payload.values())
+
+    def reduce(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "_side" not in part.schema.names:
+            return empty_like
+        is_side = pc.fill_null(part.column("_side"), False)
+        feat = part.filter(is_side)
+        rows = part.filter(pc.invert(is_side))
+        if feat.num_rows == 0 or rows.num_rows == 0:
+            return empty_like
+        fk = feat.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(fk)
+        feat = feat.take(pa.array(order)).combine_chunks()
+        fk = fk[order]
+        p = rows.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = np.minimum(np.searchsorted(fk, p), len(fk) - 1)
+        ok = fk[idx] == p
+        rows = rows.filter(pa.array(ok))
+        taken = feat.take(pa.array(idx[ok]))
+        cols = {c: rows.column(c) for c in carry_cols}
+        for dst in out_payload:
+            cols[dst] = taken.column(dst)
+        return pa.table(cols)
+
+    return hash_partition_apply(
+        probe.union(tagged),
+        P,
+        reduce,
+        key_fn=key_fn,
+        arrow=True,
+        rows_per_block=rows_per_block,
+        empty_like=empty_like,
+    )

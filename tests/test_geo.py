@@ -2,6 +2,7 @@
 preserving rewrites, block builders, and the propose → apply → re-propose
 idempotence loop (reference: c1_utils.py:16-418, blocking.py:429-582)."""
 
+import numpy as np
 import pandas as pd
 import pytest
 import ray.data as rd
@@ -186,3 +187,32 @@ def test_snapshot_column(entryray):
 @pytest.fixture(scope="module")
 def entryray():
     return True  # ray session provided by conftest
+
+
+def test_country_blocks_skew_distributed(entryray):
+    """Skewed corpus (few distinct tokens, many rows, rows repeated across
+    batches): the distributed reduce must still count DISTINCT record ids per
+    group, and nothing proportional to the corpus reaches the driver (the
+    reduce emits one row per canon / unknown token)."""
+    from bibexpy_ray.pipelines.geo import country_blocks
+
+    n = 20_000
+    keys = np.arange(n, dtype=np.int64) % 6_000  # rids repeat across batches
+    toks = ["USA", "U.S.A.", "United States", "Narnia", "Narnja"]
+    df = pd.DataFrame(
+        {
+            "c_custkey": keys,
+            "c1": [f"[X] Univ Alpha, City, {toks[i % 5]}" for i in range(n)],
+        }
+    )
+    blocks = country_blocks(rd.from_pandas(df).repartition(8))
+    t1 = blocks[blocks["tier"] == 1]
+    assert list(t1["canonical_name"]) == ["United States"]
+    # every rid mentions a US variant at least once in this layout
+    us_rids = {int(k) for k, i in zip(keys, range(n)) if i % 5 in (0, 1, 2)}
+    assert int(t1["n_records"].iloc[0]) == len(us_rids)
+    t2 = blocks[blocks["tier"] == 2]
+    assert len(t2) == 1  # Narnia + Narnja cluster together (JW ≥ 0.85)
+    narnia_rids = {int(k) for k, i in zip(keys, range(n)) if i % 5 in (3, 4)}
+    assert int(t2["n_records"].iloc[0]) == len(narnia_rids)
+    assert "Narnia" in t2["variants"].iloc[0] and "Narnja" in t2["variants"].iloc[0]
