@@ -567,11 +567,12 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """orders ⋈ customer ⋈ nation revenue rollup.
 
     nation (25 rows, genuinely bounded) always broadcasts. customer scales
-    with SF: under ``DIM_BROADCAST_LIMIT`` it broadcasts as a custkey→name
-    dict via ``ray.put`` and the fact table streams through a vectorized
-    map + per-batch partial aggregate; above it the orders pre-aggregate
-    per custkey (combiner) and co-partition with the customer dim — both
-    paths proven equivalent in tests/test_dim_join_paths.py.
+    with SF: under ``DIM_BROADCAST_LIMIT`` it broadcasts as SORTED numpy
+    arrays (custkey + per-customer nation code — ~12 B/row, vs a Python
+    dict's ~100 B/entry and per-task re-deserialization) probed with a
+    guarded searchsorted; above it the orders pre-aggregate per custkey
+    (combiner) and co-partition with the customer dim — both paths proven
+    equivalent in tests/test_dim_join_paths.py.
     """
     nation = read_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nat_name = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
@@ -580,17 +581,28 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
     if int(cust_ds.count()) <= DIM_BROADCAST_LIMIT:
         cust = cust_ds.to_pandas()
-        cust_nation = {
-            int(c): nat_name[int(n)]
-            for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
-        }
-        lookup_ref = ray.put(cust_nation)
+        ckeys = cust["c_custkey"].to_numpy(dtype=np.int64)
+        order = np.argsort(ckeys)
+        ckeys = ckeys[order]
+        cnat = cust["c_nationkey"].to_numpy(dtype=np.int64)[order]
+        natk = nation["n_nationkey"].to_numpy(dtype=np.int64)
+        norder = np.argsort(natk)
+        natk = natk[norder]
+        natn = nation["n_name"].to_numpy()[norder]
+        lookup_ref = ray.put((ckeys, cnat, natk, natn))
 
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
-            lookup = ray.get(lookup_ref)
-            names = batch["o_custkey"].map(lookup)
+            ck, cn, nk, nn = ray.get(lookup_ref)
+            o = batch["o_custkey"].to_numpy(dtype=np.int64)
+            i = np.minimum(np.searchsorted(ck, o), len(ck) - 1)
+            ok = ck[i] == o  # unknown custkeys drop (dict .map gave NaN)
+            codes = cn[i[ok]]
+            j = np.minimum(np.searchsorted(nk, codes), len(nk) - 1)
             df = pd.DataFrame(
-                {"n_name": names, "revenue_cents": cents(batch["o_totalprice"].to_numpy())}
+                {
+                    "n_name": nn[j],
+                    "revenue_cents": cents(batch["o_totalprice"].to_numpy())[ok],
+                }
             )
             return df.groupby("n_name", as_index=False).agg(
                 revenue_cents=("revenue_cents", "sum"), n_orders=("revenue_cents", "size")
@@ -666,17 +678,26 @@ def brand_revenue(sf_dir: str) -> pd.DataFrame:
 
     if int(part_ds.count()) <= DIM_BROADCAST_LIMIT:
         part_df = part_ds.to_pandas()
-        brand_of = dict(zip(part_df["p_partkey"].astype(np.int64), part_df["p_brand"]))
-        ref = ray.put(brand_of)
+        # sorted-array broadcast: keys + small brand-code column, with the
+        # tiny distinct-brand vocabulary alongside (no per-key Python strings)
+        pkeys = part_df["p_partkey"].to_numpy(dtype=np.int64)
+        order = np.argsort(pkeys)
+        pkeys = pkeys[order]
+        codes, brands = pd.factorize(part_df["p_brand"])
+        codes = codes[order].astype(np.int32)
+        ref = ray.put((pkeys, codes, np.asarray(brands, dtype=object)))
 
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
-            lookup = ray.get(ref)
+            pk, cd, br = ray.get(ref)
             base = cents(batch["l_extendedprice"].to_numpy())
             disc = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+            keys = batch["l_partkey"].to_numpy(dtype=np.int64)
+            i = np.minimum(np.searchsorted(pk, keys), len(pk) - 1)
+            ok = pk[i] == keys  # unknown partkeys drop (dict .map gave NaN)
             df = pd.DataFrame(
                 {
-                    "p_brand": batch["l_partkey"].map(lookup),
-                    "rev": base * (100 - disc),
+                    "p_brand": br[cd[i[ok]]],
+                    "rev": (base * (100 - disc))[ok],
                 }
             )
             return df.groupby("p_brand", as_index=False).agg(
@@ -1125,16 +1146,27 @@ def top_orders_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
 
     if int(cust_ds.count()) <= DIM_BROADCAST_LIMIT:
         cust = cust_ds.to_pandas()
-        nat_of = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-        nat_ref = _ray.put(nat_of)
+        # sorted-array broadcast (custkey + nationkey int64 pairs) — the
+        # uid-sorted searchsorted convention, ~10× cheaper to ship than a
+        # Python dict of the same size
+        ckeys = cust["c_custkey"].to_numpy(dtype=np.int64)
+        corder = np.argsort(ckeys)
+        ckeys = ckeys[corder]
+        cnat = cust["c_nationkey"].to_numpy(dtype=np.int64)[corder]
+        nat_ref = _ray.put((ckeys, cnat))
 
         def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
-            m = _ray.get(nat_ref)
+            ck, cn = _ray.get(nat_ref)
+            o = batch["o_custkey"].to_numpy(dtype=np.int64)
+            i = np.minimum(np.searchsorted(ck, o), len(ck) - 1)
+            ok = ck[i] == o  # unknown custkeys drop (dict .map raised/NaN)
             out = pd.DataFrame(
                 {
-                    "nation": batch["o_custkey"].map(m).astype(np.int64),
-                    "o_orderkey": batch["o_orderkey"].astype(np.int64),
-                    "cents": (batch["o_totalprice"] * 100).round().astype(np.int64),
+                    "nation": cn[i[ok]],
+                    "o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64)[ok],
+                    "cents": (batch["o_totalprice"].to_numpy()[ok] * 100)
+                    .round()
+                    .astype(np.int64),
                 }
             )
             # per-batch combine: keep k best per group (desc cents, asc key)
