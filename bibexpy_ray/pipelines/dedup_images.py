@@ -1271,15 +1271,20 @@ def dedup_images(
         # edge), then vectorized driver connected components — the
         # measured-fastest path at bench scale; above the cap nothing
         # transits the driver
-        from bibexpy_ray.stages.unionfind import clusters_driver_arrow
+        from bibexpy_ray.stages.unionfind import clusters_driver_arrow, contract_blocks
 
-        # arrow-refs collect: the filtered blocks come back as Arrow (no
+        # per-block pre-contraction BEFORE the collect: each block's edges
+        # collapse to a local star forest in parallel tasks (connectivity-
+        # preserving), shrinking both the collected bytes and the driver
+        # CC's single-threaded input — dense clusters whose edges co-reside
+        # in a block contract to size-1-per-member stars.
+        # arrow-refs collect: the contracted blocks come back as Arrow (no
         # pandas conversion job) and only the two id columns materialize.
         # Zero-row pandas blocks can pass the filter UDF through unchanged,
         # so coerce any stray DataFrame block before concatenating.
         blocks = [
             b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
-            for b in ray.get(auto_edges_ds.to_arrow_refs())
+            for b in ray.get(contract_blocks(auto_edges_ds).to_arrow_refs())
         ]
         auto_tbl = pa.concat_tables(blocks, promote_options="default")
         if "id_a" not in auto_tbl.schema.names:

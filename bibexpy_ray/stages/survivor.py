@@ -96,16 +96,28 @@ def survivors_partition(part: pd.DataFrame, rank_fn=None) -> pd.DataFrame:
         **{c: ranks.iloc[:, i] for i, c in enumerate(rank_cols)}
     ).sort_values(["cluster_id", *rank_cols, "image_id"], kind="mergesort")
     winners = ranked.drop_duplicates(subset=["cluster_id"], keep="first")
+    # member-list aggregation without a per-cluster Python "|".join call:
+    # one segment scan over the (cluster_id, image_id) sort + Arrow's C++
+    # binary_join over a list array (the same size-class idea as the pair
+    # emitters — all clusters in the partition handled in one kernel)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     by_id = part.sort_values(["cluster_id", "image_id"], kind="mergesort")
-    agg = by_id.groupby("cluster_id", sort=True)["image_id"].agg(
-        cluster_size="size", members="|".join
-    )
-    out = winners.set_index("cluster_id").join(agg)
+    cl = by_id["cluster_id"].to_numpy()
+    ids = by_id["image_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+    offsets = np.r_[starts, len(cl)].astype(np.int32)
+    members = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), pa.array(ids, type=pa.string())),
+        "|",
+    ).to_numpy(zero_copy_only=False)
+    # winners and the segment scan are both in ascending cluster_id order
     return pd.DataFrame(
         {
-            "cluster_id": out.index.to_numpy(dtype=object),
-            "survivor_id": out["image_id"].to_numpy(dtype=object),
-            "cluster_size": out["cluster_size"].to_numpy(dtype=np.int64),
-            "members": out["members"].to_numpy(dtype=object),
+            "cluster_id": cl[starts],
+            "survivor_id": winners["image_id"].to_numpy(dtype=object),
+            "cluster_size": np.diff(offsets).astype(np.int64),
+            "members": members,
         }
     )

@@ -455,3 +455,39 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
         if not changed:
             break
     return labels
+
+
+def contract_blocks(edges_ds):
+    """Per-BLOCK pre-contraction for the driver-collect CC path.
+
+    Each block's edges run a local CC and emit star edges (local-min canon →
+    member) — connectivity-preserving (every endpoint survives as a star
+    member or canon, every within-block path collapses to its star), so
+    global CC over the output equals CC over the input. Runs as a parallel
+    map with no shuffle; shrinks the edge count toward the endpoint count
+    before the driver collect, cutting both the collect bytes and the
+    single-threaded driver CC input (the distributed path's per-partition
+    ``contract`` does the same after its first shuffle).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    def _contract(df: pd.DataFrame) -> pa.Table:
+        # explicit Arrow string output: an all-empty run must still collect
+        # as string columns (pandas empty object columns round-trip as null)
+        if len(df) == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+            )
+        mem, canon = clusters_driver_arrays(
+            df["id_a"].to_numpy(), df["id_b"].to_numpy()
+        )
+        keep = mem != canon
+        return pa.table(
+            {
+                "id_a": pa.array(canon[keep], type=pa.string()),
+                "id_b": pa.array(mem[keep], type=pa.string()),
+            }
+        )
+
+    return edges_ds.map_batches(_contract, batch_format="pandas")
