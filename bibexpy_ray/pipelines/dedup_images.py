@@ -48,6 +48,24 @@ from bibexpy_ray.state.checkpoint import RunDir
 
 #: columns the signature/feature path needs — bytes is deliberately absent
 FEATURE_INPUT_COLS = ["image_id", "caption", "phash", "fmt"]
+#: columns the candidate + verify consumers of the ``reps`` pin actually
+#: read (bucket emitters: _minhash/_n_shingles/_uid/phash/_authority/
+#: _norm_caption; containment: image_id/_norm_caption; verify feat join:
+#: the 5 feat_cols) — the second pin carries nothing else
+CANDIDATE_COLS = [
+    "image_id",
+    "_uid",
+    "_norm_caption",
+    "phash",
+    "_authority",
+    "_minhash",
+    "_n_shingles",
+]
+#: above this many rep rows, drop the signature columns from the reps pin
+#: once the candidate stage has consumed them (frees ~1 KB/row of object
+#: store before the verify shuffle — the measured 5M disk-ceiling driver);
+#: below it the re-materialize costs more than the memory it frees
+REPS_SLIM_LIMIT = 500_000
 #: verify-side feature table broadcasts below this row count (~100 B/row →
 #: ≤ ~200 MB in the object store, one copy per node); above it the verifier
 #: hash-joins features to edges (tests/test_verify_join_path.py proves the
@@ -867,7 +885,12 @@ def dedup_images(
     # Ray job — ~0.5 s of fixed execution cost per consumer regardless of CPU
     # count (a pure serial term in the scaling ratio). Same bounded-size
     # argument as the features pin (bytes never enter this table).
-    reps = reps_lazy.materialize()
+    # Column-pruned: the rep consumers read only the candidate columns
+    # (everything else — caption, w/h/fmt, _caption_hash, _simhash — already
+    # lives in the features pin), so the second pin skips them; _minhash
+    # (1 KB/row, the single largest column) rides only until the candidate
+    # stage completes and is then dropped (see the re-slim below).
+    reps = reps_lazy.select_columns(CANDIDATE_COLS).materialize()
 
     # ---- candidate generation ----------------------------------------------
     def candidates_stage():
@@ -1007,12 +1030,20 @@ def dedup_images(
     # candidate edges feed both the verifier and the metrics count — pin them
     # so the shuffle-heavy candidate stage executes exactly once
     edges_raw = checkpoint("edges_raw", candidates_stage).materialize()
+    # the count is block metadata on the materialized set — record it NOW so
+    # the edges_raw pin can be released as soon as verify consumes it
+    metrics["candidate_edges"] = int(edges_raw.count())
     _lap("s_candidates")
 
     # ---- verification -------------------------------------------------------
     # edges carry numeric uids; verification joins features back BY UID and
     # emits string image_ids (the external audit/cluster surface)
     feat_cols = ["_uid", "image_id", "_norm_caption", "phash", "_authority"]
+    if int(features.count()) - n_exact > REPS_SLIM_LIMIT:
+        # candidate generation is done with the signature columns; re-pin
+        # reps as the 5 verify columns and let the _minhash copy free before
+        # the verify shuffle allocates (peak object-store moment at scale)
+        reps = reps.select_columns(feat_cols).materialize()
 
     def verify_stage():
         # rep count derived arithmetically — a reps.count() here would execute
@@ -1237,7 +1268,12 @@ def dedup_images(
     auto_edges_ds = verified.map_batches(
         _filter_auto, batch_format="pyarrow"
     ).materialize()
-    metrics["candidate_edges"] = int(edges_raw.count())
+    # release the candidate-edge pin: verify has consumed it (the count was
+    # recorded at materialization). Clearing BOTH references (the name and
+    # the consuming closure) lets the object store free/unspill the blocks
+    # before CC + survivor allocate.
+    edges_raw = None
+    verify_stage = None
     _lap("s_verify_split")
 
     # ---- connected components ----------------------------------------------
