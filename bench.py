@@ -155,6 +155,12 @@ def run_scaling() -> dict:
         # ±20-40% run-to-run variance)
         subprocess.run(["ray", "stop", "--force"], capture_output=True, timeout=120)
         time.sleep(1)
+        # drop the previous trial's spill files: at the 2M+ scales one level's
+        # spill (~30 GB) left on disk is the difference between the next level
+        # fitting the volume or hitting raylet ENOSPC
+        import shutil
+
+        shutil.rmtree("/tmp/ray", ignore_errors=True)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child",
              str(cpus), corpus],
