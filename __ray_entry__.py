@@ -36,6 +36,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from bibexpy_ray.pipelines import (
         ann,
+        arbitration,
         assign,
         docdedup,
         enricher,
@@ -136,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample": multimodal.video_frame_sample,
         "audio_feature_stats": multimodal.audio_feature_stats,
         "incremental_dedup": incremental.incremental_dedup_clusters,
+        "customer_arbitration": arbitration.customer_arbitration,
     }
 
 
@@ -617,5 +619,7 @@ def oracle_sql() -> dict[str, str]:
         # video_frame_sample / audio_feature_stats (decode features),
         # ann_topk_ivf (approximate; pytest-checked recall >= 0.9 vs exact),
         # incremental_dedup (greedy/CC over a saved base index;
-        # equivalence-to-full-run proven in tests/test_incremental.py)
+        # equivalence-to-full-run proven in tests/test_incremental.py),
+        # customer_arbitration (tier-2 judge verdicts — deterministic
+        # offline arbiter, not SQL-expressible)
     }
