@@ -294,3 +294,14 @@ def text_hash_u64(texts: pa.Array | list[str], seed: int = 0) -> np.ndarray:
             sums = np.zeros(nrows, dtype=_U64)
         out = splitmix64(sums ^ splitmix64(lengths.astype(_U64) + _U64(seed & 0xFFFFFFFFFFFFFFFF)))
     return out
+
+
+def in_sorted_u64(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe of ``values`` against a SORTED uint64
+    array (searchsorted + equality check). The standard probe for the
+    broadcast uid gates (incremental pair gate, loser filters)."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(values), dtype=bool)
+    v = np.asarray(values, dtype=np.uint64)
+    i = np.minimum(np.searchsorted(sorted_arr, v), len(sorted_arr) - 1)
+    return sorted_arr[i] == v

@@ -32,6 +32,7 @@ import ray.data as rd
 
 from bibexpy_ray.config import DedupConfig
 from bibexpy_ray.stages.lsh import (
+    _EMPTY_PAIRS,
     BucketPairEmitter,
     add_coarse_partition,
     dedupe_pairs_manual,
@@ -892,6 +893,19 @@ def dedup_images(
     # stage completes and is then dropped (see the re-slim below).
     reps = reps_lazy.select_columns(CANDIDATE_COLS).materialize()
 
+    # incremental mode: the sorted base-uid gate broadcasts ONCE and is
+    # consumed at two levels — (1) inside the pair emitters, where a bucket
+    # whose every member is in-gate is dropped BEFORE pair emission (its
+    # pairs are all base-base and would be discarded by (2) anyway; at a
+    # large standing index these all-index buckets are the dominant share
+    # of candidate work), and (2) as the per-pair filter before the dedupe
+    # shuffle (mixed buckets still emit base-base pairs). Level (1) is a
+    # pure subset-drop of level (2)'s discards, so the surviving pair set —
+    # and every downstream result — is bit-identical with or without it.
+    gate_ref = None
+    if skip_pairs_within is not None and len(skip_pairs_within):
+        gate_ref = ray.put(np.sort(np.asarray(skip_pairs_within, dtype=np.uint64)))
+
     # ---- candidate generation ----------------------------------------------
     def candidates_stage():
         # all three bucket-row kinds emitted in ONE pass over the features —
@@ -912,6 +926,17 @@ def dedup_images(
         emitter = BucketPairEmitter(cfg.bucket_pair_cap, phash_tol=cfg.phash_hamming_tol)
 
         def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            if gate_ref is not None and len(df):
+                from bibexpy_ray.functions.hashing import in_sorted_u64
+
+                g = ray.get(gate_ref)
+                ing = in_sorted_u64(g, df["uid"].to_numpy(dtype=np.uint64))
+                if ing.all():
+                    return _EMPTY_PAIRS.copy()
+                if ing.any():
+                    keys = df["bucket_key"].to_numpy(dtype=np.uint64)
+                    live = np.unique(keys[~ing])  # buckets with >=1 new row
+                    df = df[np.isin(keys, live)]
             return emitter(df)
 
         def run_lsh():
@@ -964,7 +989,10 @@ def dedup_images(
             t0 = _time.time()
             out = (
                 containment_candidates(
-                    reps.select_columns(["image_id", "_norm_caption"]), cfg, n_coarse
+                    reps.select_columns(["image_id", "_norm_caption"]),
+                    cfg,
+                    n_coarse,
+                    gate_ref=gate_ref,
                 )
                 .map_batches(to_uid_pairs, batch_format="pandas")
                 .materialize()
@@ -994,7 +1022,7 @@ def dedup_images(
         else:
             pairs = run_lsh()
         _lap("s_cand_emit")
-        if skip_pairs_within is not None and len(skip_pairs_within):
+        if gate_ref is not None:
             # incremental mode: pairs WITHIN the base index were adjudicated
             # by the base run (they stayed separate clusters) — drop them
             # BEFORE the dedupe shuffle so they never move again. The gate is
@@ -1006,20 +1034,13 @@ def dedup_images(
             # A new row whose uid collides with a base uid would have its
             # base-side pairs dropped (a missed merge, never a wrong merge);
             # P < n_new * n_base / 2^64, ~1e-5 even at GATE_LIMIT.
-            gate_ref = ray.put(
-                np.sort(np.asarray(skip_pairs_within, dtype=np.uint64))
-            )
-
             def drop_base_pairs(df: pd.DataFrame) -> pd.DataFrame:
+                from bibexpy_ray.functions.hashing import in_sorted_u64
+
                 g = ray.get(gate_ref)
-
-                def in_gate(v: np.ndarray) -> np.ndarray:
-                    i = np.searchsorted(g, v)
-                    return (i < len(g)) & (g[np.minimum(i, len(g) - 1)] == v)
-
                 a = df["id_a"].to_numpy(dtype=np.uint64)
                 b = df["id_b"].to_numpy(dtype=np.uint64)
-                return df[~(in_gate(a) & in_gate(b))]
+                return df[~(in_sorted_u64(g, a) & in_sorted_u64(g, b))]
 
             pairs = pairs.map_batches(drop_base_pairs, batch_format="pandas")
         # a pair appears in many buckets: dedupe on (id_a, id_b) — manual

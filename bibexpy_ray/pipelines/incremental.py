@@ -30,11 +30,16 @@ Ray shape — nothing O(index) or O(base clusters) ever lands on the driver:
   per-partition reduces; untouched base clusters emit their carry rows
   from the same pass. The updated cluster table returns as a Dataset.
 
-Measured at 192k base + 48k shard (32 CPUs): the gate halves the
-verify/exact volume (verify_exec 2.1 -> 0.8-1.0 s, exact 1.7 -> 0.5 s vs
-the 240k from-scratch run), and the persisted features remove the ~5.6 s
-index re-featurization that previously kept toy-scale WALL comparable to
-a full re-run.
+Measured (32 CPUs, interleaved trials): at 480k base + 48k shard the
+increment runs **19.0-20.0 s vs 24.6-26.2 s** for the 528k from-scratch
+re-run (~25% faster) — the gate keeps verify_exec at ~1.0 s and the
+all-gated-bucket pre-drop (dedup_images.py candidate stage) keeps the
+candidate stages flat as the index grows. At 192k + 48k the increment
+ties-to-loses (16.7 vs 13.4 s): the engine stages are cheaper but ~3 s
+of fixed per-increment cost (setup + the two expansion shuffles + stats,
+see the s_incr_* metrics) dominates at toy scale. The crossover moves
+further in the increment's favor with scale, where verify is the
+dominant cost (52-79% of the scaling-run walls).
 """
 
 from __future__ import annotations
@@ -62,9 +67,50 @@ _CLUSTER_COLS = ["cluster_id", "survivor_id", "cluster_size", "members",
                  "base_cluster_ids"]
 
 
-def _uid_gate(feats: rd.Dataset) -> np.ndarray:
+def _parquet_num_rows(path: str) -> int:
+    """Row count straight off parquet footers (file or directory) — no Ray
+    job; a ``Dataset.count()`` here costs ~0.4 s of serial driver time per
+    call even when metadata-only."""
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    return sum(
+        int(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+#: below this many index rows the gate's ``_uid`` column reads straight off
+#: the parquet footers on the driver (a single 8 B/row column — ~40 MB at the
+#: cap) instead of paying a Ray job's ~1 s fixed cost; above it the read
+#: parallelizes through the Dataset
+_GATE_DRIVER_READ_LIMIT = 5_000_000
+
+
+def _uid_gate(feats: rd.Dataset, feat_dir: str | None = None,
+              n_base: int | None = None) -> np.ndarray:
     """Sorted uint64 uids of the index rows, collected block-by-block off the
     feature table's ``_uid`` column (8 B/row — never a Python string list)."""
+    if (
+        feat_dir is not None
+        and n_base is not None
+        and n_base <= _GATE_DRIVER_READ_LIMIT
+    ):
+        import pyarrow.parquet as pq
+
+        files = [
+            os.path.join(feat_dir, f)
+            for f in sorted(os.listdir(feat_dir))
+            if f.endswith(".parquet")
+        ]
+        if files:
+            u = pa.concat_tables(
+                [pq.read_table(f, columns=["_uid"]) for f in files]
+            ).column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return np.sort(u)
+        return np.empty(0, dtype=np.uint64)
     blocks = [
         b.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
         for b in ray.get(feats.select_columns(["_uid"]).to_arrow_refs())
@@ -77,7 +123,7 @@ def _uid_gate(feats: rd.Dataset) -> np.ndarray:
 
 def _expand_clusters(
     rc_ds: rd.Dataset, base_clusters_ds: rd.Dataset, n_parts: int
-) -> tuple[rd.Dataset, int]:
+) -> rd.Dataset:
     """Stream the base-membership expansion.
 
     One co-partition shuffle on the base SURVIVOR id merges result members
@@ -85,7 +131,10 @@ def _expand_clusters(
     member list) AND emits untouched base clusters' carry rows — the base
     cluster table never lands on the driver. A second, result-bounded
     shuffle regroups the expanded members per result cluster. Returns the
-    updated cluster Dataset and the touched-base-cluster count.
+    updated cluster Dataset with a ``_merged`` marker column (True on
+    regrouped result clusters, False on carried base clusters) — the caller
+    derives the touched-base count from it in its final stats pass instead
+    of paying a dedicated count job here.
     """
     from bibexpy_ray.stages.shuffle import hash_partition_apply
 
@@ -196,26 +245,27 @@ def _expand_clusters(
 
     import pyarrow.compute as pc
 
+    def _mark(t: pa.Table, merged: bool) -> pa.Table:
+        return t.append_column(
+            "_merged", pa.array(np.full(t.num_rows, merged), type=pa.bool_())
+        )
+
     carry_ds = pass1.map_batches(
-        lambda t: t.filter(
-            pc.fill_null(t.column("_final"), False)
-        ).drop_columns(["_final"]),
+        lambda t: _mark(
+            t.filter(pc.fill_null(t.column("_final"), False)).drop_columns(
+                ["_final"]
+            ),
+            False,
+        ),
         batch_format="pyarrow",
     )
+    # single consumer (the regroup shuffle) — chain lazily, no materialize
     nonfinal = pass1.map_batches(
         lambda t: t.filter(
             pc.invert(pc.fill_null(t.column("_final"), False))
         ).drop_columns(["_final"]),
         batch_format="pyarrow",
-    ).materialize()
-    touched_parts = nonfinal.map_batches(
-        lambda df: pd.DataFrame(
-            {"n": [int((df["base_cluster_ids"] != "").sum())]}
-        ),
-        batch_format="pandas",
-    ).to_pandas()
-    # an all-empty Dataset loses its schema through to_pandas (0-col frame)
-    n_touched = int(touched_parts["n"].sum()) if "n" in touched_parts.columns else 0
+    )
 
     def cluster_key(t: pa.Table) -> np.ndarray:
         ids = t.column("cluster_id")
@@ -223,9 +273,13 @@ def _expand_clusters(
             ids = ids.combine_chunks()
         return (text_hash_u64(ids) % np.uint64(n_parts)).astype(np.int32)
 
+    regroup_cols = _CLUSTER_COLS + ["_merged"]
+
     def regroup(part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
-            return _empty_clusters(final_col=False)
+            out = _empty_clusters(final_col=False)
+            out["_merged"] = pd.Series([], dtype=bool)
+            return out
         g = part.groupby("cluster_id", sort=False).agg(
             survivor_id=("survivor_id", "first"),
             members=("members", "|".join),
@@ -238,7 +292,8 @@ def _expand_clusters(
             lambda m: "|".join(sorted(m.split("|")))
         )
         g["cluster_size"] = g["members"].str.count(r"\|").astype(np.int64) + 1
-        return g[_CLUSTER_COLS]
+        g["_merged"] = True
+        return g[regroup_cols]
 
     merged = hash_partition_apply(
         nonfinal,
@@ -247,7 +302,7 @@ def _expand_clusters(
         key_fn=cluster_key,
         empty_like=regroup(pd.DataFrame()),
     )
-    return merged.union(carry_ds), n_touched
+    return merged.union(carry_ds)
 
 
 def dedup_images_incremental(
@@ -274,13 +329,28 @@ def dedup_images_incremental(
         read_corpus,
     )
 
+    import time as _time
+
     cfg = cfg or DedupConfig()
     clusters_dir = os.path.join(base_dir, "clusters")
     feat_dir = os.path.join(base_dir, "features")
     cpus = int(ray.cluster_resources().get("CPU", 4))
+    _t = _time.time()
+    _laps: dict[str, float] = {}
+
+    def _lap(name: str) -> None:
+        nonlocal _t
+        now = _time.time()
+        _laps[name] = round(now - _t, 2)
+        _t = now
 
     new_ds = read_corpus(new_input) if isinstance(new_input, str) else new_input
     keep = [c for c in FEATURE_INPUT_COLS if c in new_ds.schema().names]
+    n_new = (
+        _parquet_num_rows(new_input)
+        if isinstance(new_input, str)
+        else int(new_ds.count())
+    )
     new_ds = new_ds.select_columns(keep)
 
     if os.path.isdir(feat_dir):
@@ -288,8 +358,13 @@ def dedup_images_incremental(
         # increment re-featurizes only the new shard. Force enough read
         # blocks that downstream stages parallelize off coalesced files.
         base_feats = rd.read_parquet(feat_dir, override_num_blocks=cpus * 2)
-        n_base = int(rd.read_parquet(feat_dir).count())  # parquet metadata
-        gate = _uid_gate(base_feats) if n_base <= GATE_LIMIT else None
+        n_base = _parquet_num_rows(feat_dir)
+        gate = (
+            _uid_gate(base_feats, feat_dir=feat_dir, n_base=n_base)
+            if n_base <= GATE_LIMIT
+            else None
+        )
+        _lap("s_incr_setup")
         res = dedup_images(
             new_ds,
             cfg,
@@ -322,7 +397,7 @@ def dedup_images_incremental(
 
             base_canon = base_canon.map_batches(conform, batch_format="pyarrow")
             new_ds = new_ds.map_batches(conform, batch_format="pyarrow")
-        n_base = int(base_canon.count())
+        n_base = _parquet_num_rows(canon_dir)
         gate = None
         if n_base <= GATE_LIMIT:
             # uid gate hashed block-by-block off Arrow id arrays — no Python
@@ -343,6 +418,7 @@ def dedup_images_incremental(
                 if blocks
                 else np.empty(0, dtype=np.uint64)
             )
+        _lap("s_incr_setup")
         res = dedup_images(
             base_canon.union(new_ds),
             cfg,
@@ -352,21 +428,52 @@ def dedup_images_incremental(
         )
 
     # ---- expand result clusters through the base membership ----------------
+    _lap("s_incr_dedup")
     base_clusters_ds = rd.read_parquet(clusters_dir)
-    n_base_clusters = int(base_clusters_ds.count())  # parquet metadata
-    n_parts = max(8, min(64, cpus * 2), n_base_clusters // 500_000)
-    clusters_ds, n_touched = _expand_clusters(
-        res.clusters_ds, base_clusters_ds, n_parts
+    n_base_clusters = _parquet_num_rows(clusters_dir)
+    # shuffle width scales with the CLUSTER TABLE, not the CPU count — a toy
+    # increment pays per-task fixed cost on every extra partition while a
+    # 10^9-cluster table still widens to the full pool and beyond
+    n_parts = max(
+        8,
+        min(cpus * 2, 1 + n_base_clusters // 50_000),
+        n_base_clusters // 500_000,
     )
-    clusters_ds = clusters_ds.materialize()
+    clusters_ds = _expand_clusters(
+        res.clusters_ds, base_clusters_ds, n_parts
+    ).materialize()
+    _lap("s_incr_expand")
+
+    # ONE stats pass over the materialized table derives the total and the
+    # touched-base count (distinct base cids absorbed into merged clusters —
+    # a base survivor lives in exactly one result cluster, so summing entry
+    # counts equals the distinct count); a dedicated count job per metric was
+    # ~0.4 s of serial driver time each at toy scale
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        merged = df[df["_merged"]]
+        touched = int(
+            merged.loc[
+                merged["base_cluster_ids"] != "", "base_cluster_ids"
+            ].str.count(r"\|").sum()
+            + (merged["base_cluster_ids"] != "").sum()
+        )
+        return pd.DataFrame({"rows": [len(df)], "touched": [touched]})
+
+    stats = clusters_ds.map_batches(_stats, batch_format="pandas").to_pandas()
+    # an all-empty Dataset loses its schema through to_pandas (0-col frame)
+    n_total = int(stats["rows"].sum()) if "rows" in stats.columns else 0
+    n_touched = int(stats["touched"].sum()) if "touched" in stats.columns else 0
+    clusters_ds = clusters_ds.drop_columns(["_merged"])
+    _lap("s_incr_stats")
     metrics = {
         **res.metrics,
+        **_laps,
         "base_canonical": int(n_base),
         "base_clusters": n_base_clusters,
         "base_clusters_touched": n_touched,
-        "new_rows": int(new_ds.count()),
+        "new_rows": n_new,
         "gated": gate is not None,
-        "clusters_total": int(clusters_ds.count()),
+        "clusters_total": n_total,
         "index_featurized": not os.path.isdir(feat_dir),
     }
     return clusters_ds, metrics

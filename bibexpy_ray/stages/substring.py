@@ -265,6 +265,7 @@ def containment_candidates(
     cfg: DedupConfig,
     n_parts: int = 32,
     broadcast_limit: int = CAPTION_BROADCAST_LIMIT,
+    gate_ref=None,
 ):
     """Dataset stage: features (image_id, _norm_caption) -> containment edges
     (id_a, id_b, dropped).
@@ -353,6 +354,27 @@ def containment_candidates(
                     zero_copy_only=False
                 )
             )[ok]
+        if gate_ref is not None and len(df):
+            # incremental mode: a bucket whose every member is in the base
+            # index emits only base-base pairs — all discarded by the pair
+            # gate downstream — so drop it before the suffix sort (pure
+            # subset of the gate's own discards; output is bit-identical)
+            import ray as _ray
+
+            from bibexpy_ray.functions.hashing import in_sorted_u64
+
+            g = _ray.get(gate_ref)
+            uid = (
+                df["uid"].to_numpy(dtype=np.uint64)
+                if "uid" in df.columns
+                else hashing.text_hash_u64(df["image_id"].tolist())
+            )
+            ing = in_sorted_u64(g, uid)
+            if ing.all():
+                return containment_pairs_bucket([], [], "", cfg)
+            if ing.any():
+                keys = df["bucket_key"].to_numpy(dtype=np.uint64)
+                df = df[np.isin(keys, np.unique(keys[~ing]))]
         outs = []
         for (_, token), g in df.groupby(["bucket_key", "token"], sort=True):
             if len(g) < 2:
