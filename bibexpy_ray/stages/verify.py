@@ -39,7 +39,11 @@ from bibexpy_ray.config import (
     borderline_confidence,
 )
 from bibexpy_ray.functions.hashing import hamming64
-from bibexpy_ray.functions.similarity import jaro_floor_mask, jaro_winkler
+from bibexpy_ray.functions.similarity import (
+    jaro_floor_mask,
+    jaro_winkler,
+    jaro_winkler_batch,
+)
 
 #: feature columns each edge side carries into verification
 FEATURE_COLS = ["_norm_caption", "phash", "_authority", "_n_shingles"]
@@ -103,8 +107,11 @@ def verify_edges_batch(batch: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
         maybe = jaro_floor_mask(
             cap_a[rest], cap_b[rest], cfg.sim_borderline_low
         )
-        for i in rest[maybe]:
-            sim[i] = jaro_winkler(cap_a[i], cap_b[i])
+        sel = rest[maybe]
+        if sel.size:
+            # batch kernel: bit-equivalent to the scalar jaro_winkler
+            # (property-tested), vectorized across the surviving pairs
+            sim[sel] = jaro_winkler_batch(cap_a[sel], cap_b[sel])
 
     with np.errstate(invalid="ignore"):
         s3 = todo & ham_ok & (sim >= cfg.sim_exact)
