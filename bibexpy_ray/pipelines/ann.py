@@ -346,7 +346,7 @@ def _cosine_verify_ds(
     uid-sorted (``ray.put`` once — a dense float block, not an object-heavy
     dict) and pairs probe it with a guarded searchsorted. Above it, the
     embeddings co-partition to each pair side via the raw-task hash shuffle
-    (``stages.shuffle.attach_pair_side``, same shape as
+    (``stages.shuffle.attach_pair_both``, same shape as
     docdedup._verify_jaccard_ds — ``Dataset.join`` deadlocks small clusters,
     BASELINE.md round 3) — no whole-corpus collect at any scale."""
     pairs = pairs.map_batches(
@@ -376,60 +376,49 @@ def _cosine_verify_ds(
             return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
 
         return pairs.map_batches(verify, batch_format="pandas")
-    # scale path: co-partition the vectors to each pair side (raw-task hash
-    # shuffle in arrow mode — list<float> embeddings survive the reduce with
-    # no pandas object hop; reduce outputs re-split into bounded blocks so
-    # the scoring task pool stays wide)
-    from bibexpy_ray.stages.shuffle import attach_pair_side
+    # scale path: fused two-hop co-partition join + verify-in-reduce
+    # (stages/shuffle.attach_pair_both — the flagship's verify_stage shape):
+    # hop A attaches emb_a and re-partitions by id_b in the same task, hop B
+    # attaches emb_b and scores the cosine inline, so the half- and
+    # fully-joined O(pairs x dim) tables are never stored; Arrow tables
+    # end-to-end keep the list<float> embeddings exact (no pandas object hop)
+    from bibexpy_ray.stages.shuffle import attach_pair_both
 
     cpus_now = int(ray.cluster_resources().get("CPU", 4))
     n_parts = max(8, cpus_now * 2, n_vecs // 500_000)
-    ids64 = pa.array([], pa.int64())
-    emb_type = pa.list_(pa.float32())
-    emb = pa.array([], emb_type)
-    with_a = attach_pair_side(
-        pairs,
-        ds,
-        "id_a",
-        "vec_id",
-        {"embedding": "emb_a"},
-        n_parts,
-        ["id_a", "id_b"],
-        empty_like=pa.table({"id_a": ids64, "id_b": ids64, "emb_a": emb}),
-    )
-    joined = attach_pair_side(
-        with_a,
-        ds,
-        "id_b",
-        "vec_id",
-        {"embedding": "emb_b"},
-        n_parts,
-        ["id_a", "id_b", "emb_a"],
-        empty_like=pa.table(
-            {"id_a": ids64, "id_b": ids64, "emb_a": emb, "emb_b": emb}
-        ),
-        rows_per_block=100_000,
-    )
+    ids64 = pa.int64()
+    out_schema = pa.schema([("id_a", ids64), ("id_b", ids64)])
 
-    def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype=np.int64),
-                    "id_b": pd.Series([], dtype=np.int64),
-                }
-            )
-        na = _normalize(np.vstack([np.asarray(v, np.float64) for v in batch["emb_a"]]))
-        nb = _normalize(np.vstack([np.asarray(v, np.float64) for v in batch["emb_b"]]))
+    def verify_reduce(joined: pa.Table) -> pa.Table:
+        if joined.num_rows == 0:
+            return out_schema.empty_table()
+        na = _normalize(
+            np.vstack([np.asarray(v, np.float64) for v in joined.column("emb_a").to_pylist()])
+        )
+        nb = _normalize(
+            np.vstack([np.asarray(v, np.float64) for v in joined.column("emb_b").to_pylist()])
+        )
         keep = np.einsum("ij,ij->i", na, nb) >= tau
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": batch["id_a"].to_numpy(dtype=np.int64)[keep],
-                "id_b": batch["id_b"].to_numpy(dtype=np.int64)[keep],
+                "id_a": pa.array(
+                    joined.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+                ),
+                "id_b": pa.array(
+                    joined.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+                ),
             }
         )
 
-    return joined.map_batches(verify_joined, batch_format="pandas")
+    return attach_pair_both(
+        pairs,
+        ds,
+        "vec_id",
+        {"embedding": "emb"},
+        verify_reduce,
+        empty_like=out_schema.empty_table(),
+        num_partitions=n_parts,
+    )
 
 
 def embedding_neardup_lsh(

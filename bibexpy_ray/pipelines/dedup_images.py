@@ -1135,135 +1135,70 @@ def dedup_images(
                 return EdgeVerifier(cfg)(joined)
 
             return edge_cols.map_batches(join_verify, batch_format="pandas")
-        # scale path: co-partition hash join via the raw-task shuffle —
-        # Dataset.join reserves an aggregator ACTOR pool sized by
-        # num_partitions (cannot schedule on small clusters, deadlocks the
-        # plan; see stages/unionfind.py) and its pandas hop would corrupt
-        # uint64 uids / 64-bit phash via null→float64 promotion. Arrow-mode
-        # reduces keep every type exact; feature rows mirror the uid into
-        # BOTH key columns so no uid column is ever null across the concat.
-        from bibexpy_ray.functions import hashing as _hashing
-        from bibexpy_ray.stages.shuffle import hash_partition_apply as _hpa
+        # scale path: fused two-hop co-partition join + verify-in-reduce
+        # (stages/shuffle.attach_pair_both). Dataset.join reserves an
+        # aggregator ACTOR pool sized by num_partitions (cannot schedule on
+        # small clusters, deadlocks the plan; see stages/unionfind.py) and
+        # its pandas hop would corrupt uint64 uids / 64-bit phash via
+        # null→float64 promotion. The previous shape (two chained attach
+        # shuffles, then a verifier task pool) stored the half- and
+        # fully-joined pair tables — O(pairs x caption) each, the measured
+        # 4M-row spill driver (BASELINE.md round 4). Here hop A re-partitions
+        # by id_b inside the same task and hop B runs the verifier inline, so
+        # only the (tiny) verified table is ever stored; intermediate slices
+        # ride zstd-compressed.
+        from bibexpy_ray.stages.shuffle import attach_pair_both
 
-        # partition count scales with BOTH data and cluster so no reduce
-        # holds more than ~250k feature rows; reduce outputs re-split into
-        # bounded blocks (rows_per_block) — without the split the verify
-        # actor pool's parallelism collapses to n_parts giant blocks
-        # (measured at 5M rows: 2 of 7 actors busy, straggler-bound)
+        # hop-A partition count scales with features (~250k rows per reduce);
+        # hop-B with the candidate-pair count so each verify reduce holds a
+        # bounded pair slice and the verify work spreads wider than P1
         cpus_now = int(ray.cluster_resources().get("CPU", 4))
         n_parts = max(8, cpus_now * 2, n_reps // 250_000)
-        VERIFY_ROWS_PER_BLOCK = 100_000
+        n_parts_b = max(n_parts, int(metrics["candidate_edges"]) // 750_000)
+        verifier = EdgeVerifier(cfg)
+        payload = {c: c for c in feat_cols if c != "_uid"}
+        verified_schema = pa.schema(
+            [
+                ("id_a", pa.string()),
+                ("id_b", pa.string()),
+                ("stage", pa.string()),
+                ("confidence", pa.float64()),
+                ("similarity", pa.float64()),
+                ("phash_hamming", pa.int32()),
+            ]
+        )
 
-        def feat_side(key: str, suffix: str):
-            other = "id_b" if key == "id_a" else "id_a"
+        def verify_reduce(joined: pa.Table) -> pa.Table:
+            def col(name):
+                return joined.column(name).to_numpy(zero_copy_only=False)
 
-            def rename(t: pa.Table) -> pa.Table:
-                uid = t.column("_uid")
-                cols = {key: uid, other: uid}  # mirror keeps both non-null
-                for c in feat_cols:
-                    if c != "_uid":
-                        cols[c + suffix] = t.column(c)
-                cols["_feat"] = pa.array(np.ones(t.num_rows, dtype=bool))
-                return pa.table(cols)
-
-            return reps.select_columns(feat_cols).map_batches(
-                rename, batch_format="pyarrow"
+            df = pd.DataFrame(
+                {
+                    # uid join keys served their purpose; expose string ids
+                    "id_a": col("image_id_a"),
+                    "id_b": col("image_id_b"),
+                    "_norm_caption_a": col("_norm_caption_a"),
+                    "_norm_caption_b": col("_norm_caption_b"),
+                    "phash_a": col("phash_a"),
+                    "phash_b": col("phash_b"),
+                    "_authority_a": col("_authority_a"),
+                    "_authority_b": col("_authority_b"),
+                }
+            )
+            return pa.Table.from_pandas(
+                verifier(df), preserve_index=False, schema=verified_schema
             )
 
-        def key_on(col: str):
-            def key(t: pa.Table) -> np.ndarray:
-                u = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
-                return (_hashing.splitmix64(u) % np.uint64(n_parts)).astype(np.int32)
-
-            return key
-
-        def attach(key: str, suffix: str, probe_cols: list[str]):
-            out_cols = probe_cols + [
-                c + suffix for c in feat_cols if c != "_uid"
-            ]
-
-            def reduce(part: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                if part.num_rows == 0 or "_feat" not in part.schema.names:
-                    return _verify_empty(out_cols)
-                isf = pc.fill_null(part.column("_feat"), False)
-                feat = part.filter(isf)
-                probe = part.filter(pc.invert(isf))
-                if feat.num_rows == 0 or probe.num_rows == 0:
-                    return _verify_empty(out_cols)
-                fuids = feat.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
-                order = np.argsort(fuids)
-                feat = feat.take(pa.array(order)).combine_chunks()
-                fuids = fuids[order]
-                p = probe.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
-                idx = np.minimum(np.searchsorted(fuids, p), len(fuids) - 1)
-                # exact-match guard: a probe uid absent from the feature
-                # table must drop, not join the wrong row
-                ok = fuids[idx] == p
-                probe = probe.filter(pa.array(ok))
-                taken = feat.take(pa.array(idx[ok]))
-                cols = {c: probe.column(c) for c in probe_cols}
-                for c in feat_cols:
-                    if c != "_uid":
-                        cols[c + suffix] = taken.column(c + suffix)
-                return pa.table(cols)
-
-            return reduce
-
-        def _verify_empty(out_cols: list[str]) -> pa.Table:
-            sch = _feat_schema()
-            arrs = {}
-            for c in out_cols:
-                base = c[:-2] if c.endswith(("_a", "_b")) and c[:-2] in sch else None
-                if c in ("id_a", "id_b"):
-                    arrs[c] = pa.array([], type=pa.uint64())
-                elif base:
-                    arrs[c] = pa.array([], type=sch[base])
-                else:
-                    arrs[c] = pa.array([], type=pa.string())
-            return pa.table(arrs)
-
-        def _feat_schema() -> dict:
-            sch = reps.schema().base_schema
-            return {f: sch.field(f).type for f in sch.names if f in feat_cols}
-
-        pass_a_cols = ["id_a", "id_b"]
-        with_a = _hpa(
-            edge_cols.union(feat_side("id_a", "_a")),
-            n_parts,
-            attach("id_a", "_a", pass_a_cols),
-            key_fn=key_on("id_a"),
-            arrow=True,
-            empty_like=_verify_empty(
-                pass_a_cols + [c + "_a" for c in feat_cols if c != "_uid"]
-            ),
+        return attach_pair_both(
+            edge_cols,
+            reps.select_columns(feat_cols),
+            "_uid",
+            payload,
+            verify_reduce,
+            empty_like=verified_schema.empty_table(),
+            num_partitions=n_parts,
+            num_partitions_b=n_parts_b,
         )
-        pass_b_cols = pass_a_cols + [c + "_a" for c in feat_cols if c != "_uid"]
-        joined = _hpa(
-            with_a.union(feat_side("id_b", "_b")),
-            n_parts,
-            attach("id_b", "_b", pass_b_cols),
-            key_fn=key_on("id_b"),
-            arrow=True,
-            rows_per_block=VERIFY_ROWS_PER_BLOCK,
-            empty_like=_verify_empty(
-                pass_b_cols + [c + "_b" for c in feat_cols if c != "_uid"]
-            ),
-        )
-        # uid join keys served their purpose; expose string ids downstream
-        joined = joined.map_batches(
-            lambda df: df.drop(columns=["id_a", "id_b"]).rename(
-                columns={"image_id_a": "id_a", "image_id_b": "id_b"}
-            ),
-            batch_format="pandas",
-        )
-        # task pool, not an actor pool: the verifier's only state is the
-        # small cfg (ships once in the task closure), so tasks schedule as
-        # wide as the cluster with no pool ramp — the broadcast path above
-        # already verifies via tasks for the same reason
-        verifier = EdgeVerifier(cfg)
-        return joined.map_batches(verifier, batch_format="pandas")
 
     # verified stays a DATASET: pinned in the object store, consumed by the
     # borderline/auto filters below — never collected whole to the driver

@@ -490,7 +490,7 @@ def _verify_jaccard_ds(
     uid-sorted arrays (``ray.put`` — one copy per node, vectorized searchsorted
     probes with an exact-match guard). Above it, the texts co-partition to the
     pair stream side by side via the raw-task hash shuffle
-    (``stages.shuffle.attach_pair_side`` — ``Dataset.join`` deadlocks small
+    (``stages.shuffle.attach_pair_both`` — ``Dataset.join`` deadlocks small
     clusters, BASELINE.md round 3) — no whole-corpus collect at any scale.
     Candidate pairs are a tiny post-LSH fraction, so the per-pair set
     intersection is off the hot path (the reference verifies the same way —
@@ -523,50 +523,46 @@ def _verify_jaccard_ds(
             )
 
         return pairs.map_batches(verify, batch_format="pandas")
-    # scale path: co-partition the text table to each pair side (raw-task
-    # hash shuffle; reduce outputs re-split into bounded blocks so the verify
-    # task pool stays wide — the flagship's verify_stage shape)
-    from bibexpy_ray.stages.shuffle import attach_pair_side
+    # scale path: fused two-hop co-partition join + verify-in-reduce
+    # (stages/shuffle.attach_pair_both — the flagship's verify_stage shape):
+    # hop A attaches text_a and re-partitions by id_b in the same task, hop B
+    # attaches text_b and computes the Jaccard inline, so the half- and
+    # fully-joined O(pairs x text) tables are never stored (the measured
+    # 4M-row spill driver, BASELINE.md round 4)
+    from bibexpy_ray.stages.shuffle import attach_pair_both
 
     cpus_now = int(ray.cluster_resources().get("CPU", 4))
     n_parts = max(8, cpus_now * 2, n_docs // 500_000)
-    ids64 = pa.array([], pa.int64())
-    txt = pa.array([], pa.string())
-    with_a = attach_pair_side(
-        pairs,
-        docs,
-        "id_a",
-        "doc_id",
-        {"text": "text_a"},
-        n_parts,
-        ["id_a", "id_b"],
-        empty_like=pa.table({"id_a": ids64, "id_b": ids64, "text_a": txt}),
-    )
-    joined = attach_pair_side(
-        with_a,
-        docs,
-        "id_b",
-        "doc_id",
-        {"text": "text_b"},
-        n_parts,
-        ["id_a", "id_b", "text_a"],
-        empty_like=pa.table(
-            {"id_a": ids64, "id_b": ids64, "text_a": txt, "text_b": txt}
-        ),
-        rows_per_block=100_000,
+    ids64 = pa.int64()
+    out_schema = pa.schema(
+        [
+            ("id_a", ids64),
+            ("id_b", ids64),
+            ("inter_size", ids64),
+            ("union_size", ids64),
+        ]
     )
 
-    def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
-        return _jaccard_batch(
-            batch["id_a"].to_numpy(dtype=np.int64),
-            batch["id_b"].to_numpy(dtype=np.int64),
-            batch["text_a"].tolist(),
-            batch["text_b"].tolist(),
+    def verify_reduce(joined: pa.Table) -> pa.Table:
+        out = _jaccard_batch(
+            joined.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64),
+            joined.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64),
+            joined.column("text_a").to_pylist(),
+            joined.column("text_b").to_pylist(),
             shingle_mode,
             tau,
         )
+        return pa.Table.from_pandas(out, preserve_index=False, schema=out_schema)
 
-    return joined.map_batches(verify_joined, batch_format="pandas")
+    return attach_pair_both(
+        pairs,
+        docs,
+        "doc_id",
+        {"text": "text"},
+        verify_reduce,
+        empty_like=out_schema.empty_table(),
+        num_partitions=n_parts,
+    )
 
 
 def _verify_jaccard(

@@ -222,86 +222,300 @@ def _reduce_split_task(fn, part_col, rows_per_block, empty_like, arrow, *parts: 
             yield pa.Table.from_pandas(sl.to_pandas(), preserve_index=False)
 
 
-def attach_pair_side(
-    probe: rd.Dataset,
-    side: rd.Dataset,
+def _pack(tbl: pa.Table, compress: bool):
+    """Optionally serialize a slice to zstd-compressed Arrow IPC bytes.
+
+    Shuffle slices carrying text payloads dominate the object store (and its
+    disk spill) at scale; zstd cuts caption-bearing slices ~3x for a CPU cost
+    far below the spill I/O it avoids. Tiny slices skip compression — the IPC
+    framing would exceed the saving."""
+    if not compress or tbl.nbytes < 65536:
+        return tbl
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+    with pa.ipc.new_stream(sink, tbl.schema, options=opts) as w:
+        w.write_table(tbl)
+    return sink.getvalue()
+
+
+def _unpack(obj) -> pa.Table:
+    if isinstance(obj, pa.Table):
+        return obj
+    return pa.ipc.open_stream(obj).read_all()
+
+
+def _as_tables(objs) -> list[pa.Table]:
+    out = []
+    for t in objs:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        else:
+            t = _unpack(t)
+        out.append(t)
+    return out
+
+
+def _concat_parts(parts: list[pa.Table]) -> pa.Table:
+    non_empty = [p for p in parts if p.num_rows]
+    if non_empty:
+        return pa.concat_tables(non_empty, promote_options="default")
+    return max(parts, key=lambda p: p.num_columns)
+
+
+def _sorted_probe_attach(
+    probe: pa.Table,
+    feat: pa.Table,
     key: str,
+    carry_cols: list[str],
+    payload_cols: list[str],
+) -> pa.Table | None:
+    """Inner-join ``payload_cols`` from ``feat`` onto ``probe`` rows on ``key``.
+
+    Vectorized sorted-probe with an exact-match guard (a probe key absent from
+    the feature side drops — never join a colliding row's payload). Returns
+    None when either side is empty."""
+    if feat.num_rows == 0 or probe.num_rows == 0:
+        return None
+    fk = feat.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(fk)
+    feat = feat.take(pa.array(order)).combine_chunks()
+    fk = fk[order]
+    p = probe.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+    idx = np.minimum(np.searchsorted(fk, p), len(fk) - 1)
+    ok = fk[idx] == p
+    if not ok.all():
+        probe = probe.filter(pa.array(ok))
+        idx = idx[ok]
+    if probe.num_rows == 0:
+        return None
+    taken = feat.take(pa.array(idx))
+    cols = {c: probe.column(c) for c in carry_cols}
+    for c in payload_cols:
+        cols[c] = taken.column(c)
+    return pa.table(cols)
+
+
+def attach_pair_both(
+    pairs: rd.Dataset,
+    side: rd.Dataset,
     side_key: str,
     payload: dict[str, str],
-    num_partitions: int,
-    carry_cols: list[str],
+    reduce_fn: Callable[[pa.Table], pa.Table],
     empty_like: pa.Table,
+    num_partitions: int,
+    num_partitions_b: int | None = None,
+    carry_cols: tuple[str, ...] = (),
     rows_per_block: int | None = None,
+    compress: bool = True,
 ) -> rd.Dataset:
-    """Attach ``payload`` columns from ``side`` to ``probe`` rows on ``key``.
+    """Fused two-hop pair join: attach ``payload`` from ``side`` to BOTH ends
+    of a pair stream, then apply ``reduce_fn`` to the joined rows — without
+    ever storing the half- or fully-joined pair table.
 
-    The co-partition replacement for ``Dataset.join`` on pair streams
-    (semantics reimplemented, NOT copied — reference joins in pandas,
-    /root/reference/apps/api/services/merger.py): ``Dataset.join`` reserves an
-    aggregator ACTOR pool sized by num_partitions, which cannot schedule on
-    small clusters (measured deadlock, BASELINE.md round 3), and its pandas
-    hop promotes int columns with nulls to float64. Here both sides ride ONE
-    raw-task hash shuffle (``hash_partition_apply``, arrow mode — exact
-    types) and meet in a vectorized sorted-probe reduce.
+    The two chained ``attach_pair_side`` calls this replaces each materialize
+    an O(pairs x payload) table in the object store (the measured 4M-row spill
+    driver, BASELINE.md round 4). Here hop A's reduce attaches the a-side
+    payload and RE-PARTITIONS its output by ``id_b`` in the same task
+    (``num_returns=P2``), and hop B's reduce attaches the b-side payload and
+    immediately applies ``reduce_fn`` (e.g. the edge verifier), so only its —
+    typically tiny — output is stored. Intermediate slices are optionally
+    zstd-compressed (``compress``), cutting text-bearing shuffle bytes ~3x.
 
-    - ``probe``: pair stream; ``key`` ("id_a"/"id_b") is an integer column.
+    - ``pairs``: columns ``id_a``, ``id_b`` (integer keys) + ``carry_cols``.
     - ``side``: lookup table with ``side_key`` + the ``payload`` source cols;
-      payload maps source column → output column (e.g. text → text_a).
-    - ``carry_cols``: probe columns preserved in the output (in order).
-    - ``empty_like``: zero-row exemplar of the OUTPUT schema (reduce output
-      for empty partitions and the zero-block input case).
-    - Inner-join semantics with an exact-match guard: probe rows whose key is
-      absent from ``side`` drop (never join a colliding row's payload).
+      payload maps source column -> base output name (suffixed ``_a``/``_b``).
+    - ``reduce_fn`` receives a pa.Table with ``id_a``, ``id_b``, carry cols and
+      every payload column in both suffixes; returns a pa.Table. It runs once
+      per hop-B partition — size ``num_partitions_b`` for task granularity.
+    - ``empty_like``: zero-row exemplar of ``reduce_fn``'s OUTPUT schema.
+    - Inner-join semantics with an exact-match guard on both hops.
     """
-    import pyarrow.compute as pc
+    P1 = int(num_partitions)
+    P2 = int(num_partitions_b or num_partitions)
+    pair_blocks = pairs.to_arrow_refs()
+    side_blocks = side.to_arrow_refs()
+    if not pair_blocks or not side_blocks:
+        return rd.from_arrow(empty_like)
+    payload_ref = ray.put(dict(payload))
+    fn_ref = ray.put(reduce_fn)
+    empty_ref = ray.put(empty_like)
+    carry = list(carry_cols)
 
+    cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
+    max_splits = max(16, 2 * cpus)
+
+    def _group(blocks):
+        if len(blocks) > max_splits:
+            per = -(-len(blocks) // max_splits)
+            return [blocks[i : i + per] for i in range(0, len(blocks), per)]
+        return [[b] for b in blocks]
+
+    pair_splits = [
+        _pair_split.options(num_returns=P1).remote(P1, compress, *g)
+        for g in _group(pair_blocks)
+    ]
+    side_a_splits = [
+        _side_split.options(num_returns=P1).remote(
+            P1, side_key, payload_ref, "_a", compress, *g
+        )
+        for g in _group(side_blocks)
+    ]
+    side_b_splits = [
+        _side_split.options(num_returns=P2).remote(
+            P2, side_key, payload_ref, "_b", compress, *g
+        )
+        for g in _group(side_blocks)
+    ]
+    hop_a = [
+        _attach_a_task.options(num_returns=P2).remote(
+            P2,
+            payload_ref,
+            tuple(carry),
+            compress,
+            len(pair_splits),
+            *[s[i] for s in pair_splits],
+            *[s[i] for s in side_a_splits],
+        )
+        for i in range(P1)
+    ]
+    if rows_per_block is None:
+        reduced = [
+            _attach_b_task.remote(
+                fn_ref,
+                payload_ref,
+                tuple(carry),
+                empty_ref,
+                len(hop_a),
+                *[h[q] for h in hop_a],
+                *[s[q] for s in side_b_splits],
+            )
+            for q in range(P2)
+        ]
+        return rd.from_arrow_refs(reduced)
+    gens = [
+        _attach_b_split_task.remote(
+            fn_ref,
+            payload_ref,
+            tuple(carry),
+            empty_ref,
+            rows_per_block,
+            len(hop_a),
+            *[h[q] for h in hop_a],
+            *[s[q] for s in side_b_splits],
+        )
+        for q in range(P2)
+    ]
+    reduced = [ref for g in ray.get(gens) for ref in g]
+    return rd.from_arrow_refs(reduced)
+
+
+def _hash_part(vals: np.ndarray, P: int) -> np.ndarray:
     from bibexpy_ray.functions import hashing as _hashing
 
-    P = int(num_partitions)
-
-    def side_prep(t: pa.Table) -> pa.Table:
-        cols: dict = {key: t.column(side_key)}
-        for src, dst in payload.items():
-            cols[dst] = t.column(src)
-        cols["_side"] = pa.array(np.ones(t.num_rows, dtype=bool))
-        return pa.table(cols)
-
-    tagged = side.map_batches(side_prep, batch_format="pyarrow")
-
-    def key_fn(t: pa.Table) -> np.ndarray:
-        u = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
-        return (_hashing.splitmix64(u) % np.uint64(P)).astype(np.int32)
-
-    out_payload = list(payload.values())
-
-    def reduce(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0 or "_side" not in part.schema.names:
-            return empty_like
-        is_side = pc.fill_null(part.column("_side"), False)
-        feat = part.filter(is_side)
-        rows = part.filter(pc.invert(is_side))
-        if feat.num_rows == 0 or rows.num_rows == 0:
-            return empty_like
-        fk = feat.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(fk)
-        feat = feat.take(pa.array(order)).combine_chunks()
-        fk = fk[order]
-        p = rows.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
-        idx = np.minimum(np.searchsorted(fk, p), len(fk) - 1)
-        ok = fk[idx] == p
-        rows = rows.filter(pa.array(ok))
-        taken = feat.take(pa.array(idx[ok]))
-        cols = {c: rows.column(c) for c in carry_cols}
-        for dst in out_payload:
-            cols[dst] = taken.column(dst)
-        return pa.table(cols)
-
-    return hash_partition_apply(
-        probe.union(tagged),
-        P,
-        reduce,
-        key_fn=key_fn,
-        arrow=True,
-        rows_per_block=rows_per_block,
-        empty_like=empty_like,
+    return (_hashing.splitmix64(vals.astype(np.uint64)) % np.uint64(P)).astype(
+        np.int32
     )
+
+
+def _split_by(tbl: pa.Table, part: np.ndarray, P: int, compress: bool):
+    order = np.argsort(part, kind="stable")
+    st = tbl.take(pa.array(order)).combine_chunks()
+    sp = part[order]
+    bounds = np.searchsorted(sp, np.arange(P + 1))
+    return tuple(
+        _pack(st.slice(bounds[i], bounds[i + 1] - bounds[i]), compress)
+        for i in range(P)
+    )
+
+
+@ray.remote
+def _pair_split(P, compress, *tbls):
+    tbls = _as_tables(tbls)
+    tbl = _concat_parts(tbls)
+    if tbl.num_rows == 0 or "id_a" not in tbl.schema.names:
+        empty = tbl.slice(0, 0)
+        return tuple(empty for _ in range(P))
+    part = _hash_part(
+        tbl.column("id_a").to_numpy(zero_copy_only=False), P
+    )
+    return _split_by(tbl, part, P, compress)
+
+
+@ray.remote
+def _side_split(P, side_key, payload, suffix, compress, *tbls):
+    tbls = _as_tables(tbls)
+    tbl = _concat_parts(tbls)
+    if tbl.num_rows == 0 or side_key not in tbl.schema.names:
+        empty = pa.table({})
+        return tuple(empty for _ in range(P))
+    cols = {"_k": tbl.column(side_key)}
+    for src, dst in payload.items():
+        cols[dst + suffix] = tbl.column(src)
+    tbl = pa.table(cols)
+    part = _hash_part(tbl.column("_k").to_numpy(zero_copy_only=False), P)
+    return _split_by(tbl, part, P, compress)
+
+
+@ray.remote
+def _attach_a_task(P2, payload, carry, compress, n_pair, *slices):
+    pair_parts = _as_tables(slices[:n_pair])
+    feat_parts = _as_tables(slices[n_pair:])
+    probe = _concat_parts(pair_parts)
+    feat = _concat_parts(feat_parts)
+    out_payload = [dst + "_a" for dst in payload.values()]
+    empty_cols = ["id_a", "id_b", *carry, *out_payload]
+    if (
+        probe.num_rows == 0
+        or feat.num_rows == 0
+        or "id_a" not in probe.schema.names
+        or "_k" not in feat.schema.names
+    ):
+        return tuple(pa.table({}) for _ in range(P2))
+    feat = feat.rename_columns(["id_a", *out_payload])
+    joined = _sorted_probe_attach(
+        probe, feat, "id_a", ["id_a", "id_b", *carry], out_payload
+    )
+    if joined is None:
+        return tuple(pa.table({}) for _ in range(P2))
+    part = _hash_part(
+        joined.column("id_b").to_numpy(zero_copy_only=False), P2
+    )
+    return _split_by(joined, part, P2, compress)
+
+
+def _attach_b_impl(fn, payload, carry, empty_like, n_hop, slices) -> pa.Table:
+    hop_parts = [t for t in _as_tables(slices[:n_hop]) if t.num_columns]
+    feat_parts = [t for t in _as_tables(slices[n_hop:]) if t.num_columns]
+    if not hop_parts or not feat_parts:
+        return empty_like
+    probe = _concat_parts(hop_parts)
+    feat = _concat_parts(feat_parts)
+    if probe.num_rows == 0 or feat.num_rows == 0:
+        return empty_like
+    out_a = [dst + "_a" for dst in payload.values()]
+    out_b = [dst + "_b" for dst in payload.values()]
+    feat = feat.rename_columns(["id_b", *out_b])
+    joined = _sorted_probe_attach(
+        probe, feat, "id_b", ["id_a", "id_b", *carry, *out_a], out_b
+    )
+    if joined is None:
+        return empty_like
+    return fn(joined)
+
+
+@ray.remote
+def _attach_b_task(fn, payload, carry, empty_like, n_hop, *slices) -> pa.Table:
+    return _attach_b_impl(fn, payload, carry, empty_like, n_hop, slices)
+
+
+@ray.remote(num_returns="dynamic")
+def _attach_b_split_task(
+    fn, payload, carry, empty_like, rows_per_block, n_hop, *slices
+):
+    out = _attach_b_impl(fn, payload, carry, empty_like, n_hop, slices)
+    if out.num_rows <= rows_per_block:
+        yield out
+        return
+    for lo in range(0, out.num_rows, rows_per_block):
+        sl = out.slice(lo, rows_per_block)
+        yield sl.take(pa.array(np.arange(sl.num_rows, dtype=np.int64)))
