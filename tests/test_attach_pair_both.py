@@ -35,7 +35,9 @@ def _side(n=50):
         pa.table(
             {
                 "doc_id": pa.array(np.arange(n, dtype=np.int64)),
-                "text": pa.array([f"document number {i} " * 3 for i in range(n)]),
+                # large enough that every split slice crosses the _pack
+                # threshold — the zstd branch must actually run in these tests
+                "text": pa.array([f"document number {i} " * 400 for i in range(n)]),
                 "extra": pa.array(np.arange(n, dtype=np.int64) * 7),
             }
         )
