@@ -39,6 +39,7 @@ def hash_partition_apply(
     rows_per_block: int | None = None,
     empty_like: pd.DataFrame | None = None,
     arrow: bool = False,
+    compress: bool = True,
 ) -> rd.Dataset:
     """Apply ``fn`` once per hash partition (``part_col`` in [0, P)).
 
@@ -62,6 +63,12 @@ def hash_partition_apply(
     (fixed_size_list signatures) survive the shuffle intact. Per-group input
     blocks with differing schemas concat with null promotion, exactly like
     the pandas mode.
+
+    ``compress`` (default True): split-side slices above the ``_pack``
+    threshold ride as zstd-compressed Arrow IPC buffers — text-bearing
+    shuffles shrink ~3x in the object store (and on its spill disk) for a
+    CPU cost far below the I/O it avoids; sub-threshold slices pass through
+    untouched, so small shuffles pay nothing.
 
     ``empty_like`` (optional) is a ZERO-ROW exemplar of fn's output schema.
     Degenerate inputs (zero blocks, or only schema-less zero-row blocks from
@@ -113,7 +120,7 @@ def hash_partition_apply(
     else:
         groups = [[b] for b in blocks]
     splits = [
-        _split_task.options(num_returns=P).remote(P, part_col, key_ref, *g)
+        _split_task.options(num_returns=P).remote(P, part_col, key_ref, compress, *g)
         for g in groups
     ]
     if rows_per_block is None:
@@ -135,15 +142,10 @@ def hash_partition_apply(
 
 
 @ray.remote
-def _split_task(P, part_col, key_fn, *tbls):
-    tbls = [
-        pa.Table.from_pandas(t, preserve_index=False)
-        # to_arrow_refs hands back raw pandas blocks from pandas-format
-        # upstream stages (including zero-row UDF passthroughs)
-        if isinstance(t, pd.DataFrame)
-        else t
-        for t in tbls
-    ]
+def _split_task(P, part_col, key_fn, compress, *tbls):
+    # to_arrow_refs hands back raw pandas blocks from pandas-format
+    # upstream stages (including zero-row UDF passthroughs)
+    tbls = _as_tables(tbls)
     widest = max(tbls, key=lambda t: t.num_columns)
     tbl = (
         pa.concat_tables(
@@ -162,16 +164,11 @@ def _split_task(P, part_col, key_fn, *tbls):
         part = np.asarray(key_fn(tbl))
     else:
         part = tbl.column(part_col).to_numpy(zero_copy_only=False)
-    order = np.argsort(part, kind="stable")
-    st = tbl.take(pa.array(order)).combine_chunks()
-    sp = part[order]
-    bounds = np.searchsorted(sp, np.arange(P + 1))
-    return tuple(
-        st.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P)
-    )
+    return _split_by(tbl, part, P, compress)
 
 
 def _reduce_impl(fn, part_col, parts, empty_like=None, arrow=False) -> pa.Table:
+    parts = [_unpack(p) for p in parts]
     non_empty = [p for p in parts if p.num_rows]
     tbl = (
         pa.concat_tables(non_empty, promote_options="default")
