@@ -372,7 +372,7 @@ class DedupResult:
             return pd.DataFrame(out_rows, columns=out_cols)
 
         merged_ds = hash_partition_apply(
-            members, n_parts, merge_part, key_fn=cluster_key
+            members, n_parts, merge_part, key_fn=cluster_key, compress=True
         )
 
         def explode_conflicts(part: pd.DataFrame) -> pd.DataFrame:
@@ -509,6 +509,7 @@ class DedupResult:
             losers_part,
             key_fn=key,
             empty_like=losers_part(pd.DataFrame()),
+            compress=True,
         )
 
         # arrow-mode reduce: the data side may carry int32/int64/binary
@@ -531,7 +532,8 @@ class DedupResult:
             return data.filter(pc.fill_null(keep_mask, True))
 
         return hash_partition_apply(
-            ds.union(losers_ds), n_parts, drop_part, key_fn=key, arrow=True
+            ds.union(losers_ds), n_parts, drop_part, key_fn=key, arrow=True,
+            compress=True,
         )
 
     def canonical(self, ds: rd.Dataset) -> rd.Dataset:
@@ -1336,6 +1338,7 @@ def dedup_images(
             df[["cluster_id", "image_id", "fmt", "caption"]], rank_fn=survivor_rank_fn
         ),
         key_fn=cluster_key,
+        compress=True,  # members carry captions — text compresses ~3x
     ).materialize()
 
     _lap("s_survivor")

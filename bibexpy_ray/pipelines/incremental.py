@@ -241,6 +241,7 @@ def _expand_clusters(
         merge_part,
         key_fn=member_key,
         empty_like=merge_part(pd.DataFrame()),
+        compress=True,
     ).materialize()
 
     import pyarrow.compute as pc
@@ -301,6 +302,7 @@ def _expand_clusters(
         regroup,
         key_fn=cluster_key,
         empty_like=regroup(pd.DataFrame()),
+        compress=True,
     )
     return merged.union(carry_ds)
 

@@ -39,7 +39,7 @@ def hash_partition_apply(
     rows_per_block: int | None = None,
     empty_like: pd.DataFrame | None = None,
     arrow: bool = False,
-    compress: bool = True,
+    compress: bool = False,
 ) -> rd.Dataset:
     """Apply ``fn`` once per hash partition (``part_col`` in [0, P)).
 
@@ -64,11 +64,15 @@ def hash_partition_apply(
     blocks with differing schemas concat with null promotion, exactly like
     the pandas mode.
 
-    ``compress`` (default True): split-side slices above the ``_pack``
-    threshold ride as zstd-compressed Arrow IPC buffers — text-bearing
-    shuffles shrink ~3x in the object store (and on its spill disk) for a
-    CPU cost far below the I/O it avoids; sub-threshold slices pass through
-    untouched, so small shuffles pay nothing.
+    ``compress`` (opt-in): split-side slices above the ``_pack`` threshold
+    ride as zstd-compressed Arrow IPC buffers. Turn it on for TEXT-heavy
+    shuffles (survivor members, incremental expansion, containment captions)
+    where it shrinks object-store bytes — and their spill I/O — ~3x. Leave
+    it off for int-dominated streams (pair tables, bucket rows, union-find
+    labels): those barely compress, and the extra serialize/compress/
+    decompress memory passes measurably HURT on DRAM-bandwidth-limited
+    hosts (4M-row flagship, 8 CPUs: candidate stages ~2x slower with
+    blanket compression; tools/membw_probe.py quantifies the wall).
 
     ``empty_like`` (optional) is a ZERO-ROW exemplar of fn's output schema.
     Degenerate inputs (zero blocks, or only schema-less zero-row blocks from
@@ -79,6 +83,8 @@ def hash_partition_apply(
     P = int(num_partitions)
     blocks = ds.to_arrow_refs()
     if not blocks and empty_like is not None:
+        if isinstance(empty_like, pa.Table):
+            return rd.from_arrow(empty_like)
         return rd.from_pandas(empty_like)
     if not blocks:
         # a zero-block input must still yield fn's OUTPUT schema (returning
@@ -347,8 +353,11 @@ def attach_pair_both(
             return [blocks[i : i + per] for i in range(0, len(blocks), per)]
         return [[b] for b in blocks]
 
+    # pair splits are (id_a, id_b) int streams — never worth compressing
+    # (see hash_partition_apply's compress note); the side/hop-A slices
+    # carry the text payload and are where compression pays
     pair_splits = [
-        _pair_split.options(num_returns=P1).remote(P1, compress, *g)
+        _pair_split.options(num_returns=P1).remote(P1, False, *g)
         for g in _group(pair_blocks)
     ]
     side_a_splits = [
@@ -460,7 +469,6 @@ def _attach_a_task(P2, payload, carry, compress, n_pair, *slices):
     probe = _concat_parts(pair_parts)
     feat = _concat_parts(feat_parts)
     out_payload = [dst + "_a" for dst in payload.values()]
-    empty_cols = ["id_a", "id_b", *carry, *out_payload]
     if (
         probe.num_rows == 0
         or feat.num_rows == 0

@@ -399,4 +399,5 @@ def containment_candidates(
         n_parts,
         per_part,
         empty_like=containment_pairs_bucket([], [], "", cfg),
+        compress=True,  # bucket rows carry the normalized captions
     )
