@@ -9,6 +9,12 @@ prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 (num_cpus=8 then 32) on the same pre-materialized input and reports both
 throughputs plus scaling efficiency — the sandbox substitute for the north
 rule's N vs 4N node criterion (see BASELINE.md).
+
+Every JSON line carries ``host_probe_s`` — the wall seconds of a fixed
+single-thread workload (tools/hostprobe.py) — because this shared VM's
+per-core speed drifts between sessions (measured 2.3x day-over-day,
+BASELINE.md round 4). Compare rounds in probe-relative units
+(``value / host_probe_s``), not raw walls.
 """
 
 from __future__ import annotations
@@ -21,6 +27,18 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _host_probe() -> float:
+    """Fixed single-thread canary (see tools/hostprobe.py) — measures this
+    session's per-core speed so walls are comparable across host drift."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    try:
+        import hostprobe
+
+        return hostprobe.probe()
+    except Exception:
+        return 0.0
 
 #: headline pipelines benchmarked per round
 HEADLINE = [
@@ -70,6 +88,7 @@ def run_bench() -> dict:
 
     corpus_path_for(SF_DIR)
 
+    probe_s = _host_probe()
     qs = entrymod.queries()
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -91,6 +110,7 @@ def run_bench() -> dict:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": NUM_CPUS,
+        "host_probe_s": probe_s,
     }
 
 
@@ -211,6 +231,7 @@ def run_scaling() -> dict:
         "runs": results,
         "trials": all_trials,
         "sf": SF_DIR,
+        "host_probe_s": _host_probe(),
     }
 
 
