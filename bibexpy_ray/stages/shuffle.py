@@ -104,6 +104,10 @@ def hash_partition_apply(
             empty = pd.DataFrame({n: pd.Series([], dtype=object) for n in schema.names})
         if part_col in empty.columns:
             empty = empty.drop(columns=[part_col])
+        if arrow:
+            # arrow-mode reducers expect (and return) pa.Table
+            out = fn(pa.Table.from_pandas(empty, preserve_index=False))
+            return rd.from_arrow(out)
         return rd.from_pandas(fn(empty))
     # ship the callables ONCE via the object store; the remote functions are
     # module-level (exported to each worker once per session), so a pipeline

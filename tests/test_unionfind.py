@@ -107,6 +107,15 @@ def test_hash_partition_apply_zero_block_input_keeps_output_schema(ray_session):
     out2 = hash_partition_apply(src2, 4, reduce_fn)
     assert out2.schema().names == ["id_a", "id_b", "dropped"]
     assert out2.count() == 0
+    # arrow mode without an exemplar: fn must still receive a pa.Table on
+    # the zero-block degenerate path (not a pandas frame)
+    def reduce_arrow(t: pa.Table) -> pa.Table:
+        assert isinstance(t, pa.Table)
+        return pa.table({"y": t.column("x")})
+
+    out3 = hash_partition_apply(src2, 4, reduce_arrow, arrow=True)
+    assert out3.schema().names == ["y"]
+    assert out3.count() == 0
 
 
 def test_hash_partition_apply_arrow_mode_preserves_types(ray_session):
