@@ -94,20 +94,9 @@ def hash_partition_apply(
         schema = ds.schema(fetch_if_missing=True)
         if schema is None:
             return ds
-        try:
-            empty = pa.schema(
-                list(zip(schema.names, schema.types))
-            ).empty_table().to_pandas()
-        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
-            # pandas-backed schema (numpy dtypes): object-dtype empties are
-            # fine for the vectorized reducers used here
-            empty = pd.DataFrame({n: pd.Series([], dtype=object) for n in schema.names})
-        if part_col in empty.columns:
-            empty = empty.drop(columns=[part_col])
+        empty = _empty_input(schema.names, schema.types, part_col, arrow)
         if arrow:
-            # arrow-mode reducers expect (and return) pa.Table
-            out = fn(pa.Table.from_pandas(empty, preserve_index=False))
-            return rd.from_arrow(out)
+            return rd.from_arrow(fn(empty))
         return rd.from_pandas(fn(empty))
     # ship the callables ONCE via the object store; the remote functions are
     # module-level (exported to each worker once per session), so a pipeline
@@ -149,6 +138,27 @@ def hash_partition_apply(
     ]
     reduced = [ref for g in ray.get(gens) for ref in g]
     return rd.from_arrow_refs(reduced)
+
+
+def _empty_input(names, types, part_col, arrow):
+    """Build fn's zero-row input for the zero-block degenerate path.
+
+    Arrow mode builds the table straight from the schema — an
+    arrow->pandas->arrow hop degrades nested types (fixed_size_list<int32,4>
+    becomes null), and preserving exactly those types is arrow mode's point.
+    """
+    try:
+        tbl = pa.schema(list(zip(names, types))).empty_table()
+    except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+        # pandas-backed schema (numpy dtypes) — no nested Arrow types to
+        # preserve; object-dtype empties are fine for the reducers here
+        tbl = pa.Table.from_pandas(
+            pd.DataFrame({n: pd.Series([], dtype=object) for n in names}),
+            preserve_index=False,
+        )
+    if part_col in tbl.schema.names:
+        tbl = tbl.drop_columns([part_col])
+    return tbl if arrow else tbl.to_pandas()
 
 
 @ray.remote

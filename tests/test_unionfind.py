@@ -116,6 +116,24 @@ def test_hash_partition_apply_zero_block_input_keeps_output_schema(ray_session):
     out3 = hash_partition_apply(src2, 4, reduce_arrow, arrow=True)
     assert out3.schema().names == ["y"]
     assert out3.count() == 0
+    # zero-block arrow mode must hand fn a table with NESTED types intact
+    # (a pandas hop would degrade fixed_size_list<int32,4> to null); the
+    # public API can't produce a zero-block dataset WITH a known schema in
+    # this Ray version, so pin the helper the degenerate branch calls
+    from bibexpy_ray.stages.shuffle import _empty_input
+
+    fsl_t = pa.list_(pa.int32(), 4)
+    names = ["sig", "u", "_part"]
+    types = [fsl_t, pa.uint64(), pa.int32()]
+    tbl = _empty_input(names, types, "_part", arrow=True)
+    assert isinstance(tbl, pa.Table)
+    assert tbl.schema.names == ["sig", "u"]
+    assert tbl.schema.field("sig").type == fsl_t
+    assert tbl.schema.field("u").type == pa.uint64()
+    # type-dependent ops a reducer would run must work on the empty table
+    assert len(tbl.column("sig").combine_chunks().flatten()) == 0
+    df = _empty_input(names, types, "_part", arrow=False)
+    assert isinstance(df, pd.DataFrame) and list(df.columns) == ["sig", "u"]
 
 
 def test_hash_partition_apply_arrow_mode_preserves_types(ray_session):
