@@ -53,9 +53,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from bibexpy_ray.sources import enrich as enrich_mod
 
     # ORDER CONTRACT: the driver's correctness run covers the FIRST 50
-    # entries in dict order, so every oracle-backed query (50 of them —
-    # exactly the keys of oracle_sql()) sits in the head; the 14 no-oracle
-    # (rows-only) entries form the tail.
+    # entries in dict order, so 50 oracle-backed queries sit in the head;
+    # four more oracle-backed entries (union_filtered, sample_orders,
+    # customers_with_orders, mirror_fill — all driver-validated in earlier
+    # rounds or trivially symmetric) sit just past the window and are swept
+    # by tools/check_oracle.py; the 12 no-oracle (rows-only) entries form
+    # the tail.
     return {
         # temporal custom operators (as-of join, tumbling window)
         "asof_join": temporal.asof_join_events_orders,
@@ -63,7 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorts / set ops / fill
         "top_orders": relational.top_orders,
         "top_orders_per_nation": relational.top_orders_per_nation,
-        "union_filtered": relational.union_filtered,
         "coalesce_fill": relational.coalesce_fill,
         "enrich_chain": enrich_mod.enrich_chain_documents,
         # C1 geographic family (synthetic address column, oracle-checked)
@@ -87,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": relational.quality_stats,
         "field_status_report": relational.field_status_report,
         "metadata_statistics": relational.metadata_statistics,
+        "health_score": relational.health_score,
         "facets": relational.facets,
         "value_buckets": relational.value_buckets,
         # joins (broadcast small-side)
@@ -97,9 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": relational.value_quantiles,
         "events_pivot": relational.events_pivot,
         "distinct_users": relational.distinct_users,
+        "hll_distinct_users": relational.hll_distinct_users,
         "customers_without_orders": relational.customers_without_urgent_orders,
-        "customers_with_orders": relational.customers_with_urgent_orders,
-        "sample_orders": relational.sample_orders_systematic,
         "rolling_daily_value": relational.rolling_daily_value,
         # text analysis
         "token_stats": textstats.token_stats,
@@ -107,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
         "fingerprint_kgrams": textstats.fingerprint_kgrams,
+        "fingerprint": textstats.fingerprint,
         # dedup family
         "exact_dedup": docdedup.exact_dedup,
         "composite_dedup": docdedup.composite_dedup,
@@ -117,8 +120,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.ann_topk,
         "embedding_neardup": ann.embedding_neardup_pairs,
-        # oracle-backed but outside the driver's 50-entry window (51st):
-        # verified locally via tools/check_oracle.py
+        # oracle-backed but outside the driver's 50-entry window: verified
+        # locally via tools/check_oracle.py (union_filtered, sample_orders
+        # and customers_with_orders were driver-validated ✔ in rounds 2-4
+        # and rotated out to make window room for health_score,
+        # hll_distinct_users and fingerprint)
+        "union_filtered": relational.union_filtered,
+        "sample_orders": relational.sample_orders_systematic,
+        "customers_with_orders": relational.customers_with_urgent_orders,
         "mirror_fill": enricher.mirror_fill_documents,
         # ---- no-oracle (rows-only) tail --------------------------------
         "simhash_pairs": docdedup.simhash_pairs,
@@ -126,8 +135,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_clusters": entity.customer_name_clusters,
         "source_classifier": mlscore.source_classifier,
         "keyword_tagger": mlscore.keyword_tagger,
-        "hll_distinct_users": relational.hll_distinct_users,
-        "fingerprint": textstats.fingerprint,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         # multimodal (synthetic image corpus — no external data)
@@ -177,7 +184,7 @@ def _lang_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from bibexpy_ray.pipelines import geo
+    from bibexpy_ray.pipelines import geo, relational, textstats
 
     stop = _stopword_sql_list()
     ep = _CENTS.format(col="l_extendedprice")
@@ -362,6 +369,20 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 100 * n_missing < 50 * total THEN 'Poor' "
             "WHEN 100 * n_missing < 90 * total THEN 'Critical' "
             "ELSE 'Completely Missing' END AS status FROM s"
+        ),
+        "health_score": (
+            # weighted fill-rate mean (quality.py:92-94), weights 3/2/1 by
+            # criticality tier, integer basis points (exact ⇒ hash-stable)
+            "WITH f AS (SELECT count(*) AS total, "
+            "count(*) FILTER (WHERE text IS NOT NULL AND trim(text) <> '') AS f_text, "
+            "count(*) FILTER (WHERE lang IS NOT NULL AND trim(lang) <> '') AS f_lang, "
+            "count(*) FILTER (WHERE source IS NOT NULL AND trim(source) <> '') AS f_source, "
+            "count(n_chars) AS f_nchars FROM documents) "
+            "SELECT total AS total_records, "
+            "CAST(3*f_text + 2*f_lang + 2*f_source + f_nchars AS BIGINT) AS weighted_filled, "
+            "CAST(8 AS BIGINT) AS weights_sum, "
+            "CAST((10000 * (3*f_text + 2*f_lang + 2*f_source + f_nchars)) "
+            "// (total * 8) AS BIGINT) AS health_bp FROM f"
         ),
         "facets": (
             "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
@@ -608,9 +629,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "lang_id": _lang_id_sql(),
+        # bit-exact SQL replays of the engine's own 64-bit hash chains
+        # (SplitMix64 + rolling k-gram / HLL registers as chained CTEs)
+        "fingerprint": textstats.fingerprint_oracle_sql(),
+        "hll_distinct_users": relational.hll_oracle_sql(),
         # no oracle (non-SQL-expressible → driver rows-only check):
         # simhash_pairs (custom 64-bit hash),
-        # fingerprint (winnowing over the engine's rolling hash),
         # embedding_neardup_lsh (approximate; pytest-checked vs the exact
         # variant), smart_match (greedy stateful 1:1 assignment),
         # entity_clusters / source_classifier / keyword_tagger (greedy

@@ -37,6 +37,60 @@ def splitmix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
 
 _M64 = (1 << 64) - 1
 
+#: the same constants as Python ints, for SQL-oracle generation
+GOLDEN_INT = 0x9E3779B97F4A7C15
+MIX1_INT = 0xBF58476D1CE4E5B9
+MIX2_INT = 0x94D049BB133111EB
+
+
+def modmul_sql(a_expr: str, b: int) -> str:
+    """DuckDB SQL for ``(a · b) mod 2⁶⁴`` with ``a`` a UBIGINT expression and
+    ``b`` a 64-bit constant. HUGEINT (int128) can't hold a full 64×64 product,
+    so split ``a`` at 32 bits: ``a·b ≡ al·b + ((ah·b mod 2³²) << 32)`` — every
+    intermediate stays under 2⁹⁷."""
+    a = f"CAST({a_expr} AS HUGEINT)"
+    return (
+        f"CAST(((({a}) % 4294967296) * {b} + "
+        f"(((({a}) // 4294967296) * {b}) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def splitmix64_sql_ctes(
+    src_cte: str, x_expr: str, out_col: str, carry: list[str], prefix: str
+) -> tuple[str, str]:
+    """Generate chained-CTE DuckDB SQL computing ``out_col =
+    splitmix64(x_expr)`` over rows of ``src_cte``, bit-identical to the
+    vectorized ``splitmix64`` (verified value-for-value in
+    tests/test_textstats.py). Staged CTEs instead of one nested expression:
+    each splitmix round references its input twice, so full inlining grows
+    exponentially. Returns ``(cte_fragment, final_cte_name)`` — append the
+    fragment after a ``WITH`` clause (comma-joined) and select from the
+    final CTE. ``carry`` columns pass through every stage."""
+    c = "".join(f"{col}, " for col in carry)
+    m64 = 1 << 64
+    z0 = f"CAST((CAST({x_expr} AS HUGEINT) + {GOLDEN_INT}) % {m64} AS UBIGINT)"
+    z1 = modmul_sql("xor(z0, z0 >> 30)", MIX1_INT)
+    z2 = modmul_sql("xor(z1, z1 >> 27)", MIX2_INT)
+    p = prefix
+    frag = (
+        f"{p}_s0 AS (SELECT {c}{z0} AS z0 FROM {src_cte}), "
+        f"{p}_s1 AS (SELECT {c}{z1} AS z1 FROM {p}_s0), "
+        f"{p}_s2 AS (SELECT {c}{z2} AS z2 FROM {p}_s1), "
+        f"{p}_sm AS (SELECT {c}xor(z2, z2 >> 31) AS {out_col} FROM {p}_s2)"
+    )
+    return frag, f"{p}_sm"
+
+
+def ubigint_as_bigint_sql(expr: str) -> str:
+    """DuckDB SQL reinterpreting a UBIGINT expression as two's-complement
+    BIGINT (the SQL analog of ``np.uint64.view(np.int64)``)."""
+    return (
+        f"CAST(CASE WHEN ({expr}) >= 9223372036854775808 "
+        f"THEN CAST(({expr}) AS HUGEINT) - 18446744073709551616 "
+        f"ELSE CAST(({expr}) AS HUGEINT) END AS BIGINT)"
+    )
+
 
 def hash_u64(x: int) -> int:
     """Deterministic 64-bit hash of a Python int (pure-python SplitMix64 —

@@ -192,11 +192,15 @@ def paginate(
     ds: rd.Dataset, sort_key: str, offset: int, limit: int, columns: list[str]
 ) -> pd.DataFrame:
     """Deterministic pagination + projection (filter_engine.py's sayfalama/
-    projeksiyon block): distributed sort, take the first offset+limit rows,
-    drop the offset prefix on the driver. Driver memory is one page plus the
-    offset — bounded by the API's page-depth cap, not by the corpus.
+    projeksiyon block): per-block partial top-(offset+limit) + driver merge
+    (``partial_topk`` — no global sort; a ``ds.sort().limit()`` would
+    range-shuffle the whole table per page view), then drop the offset
+    prefix. Driver memory is blocks·(offset+limit) rows — bounded by the
+    API's page-depth cap, not by the corpus.
     """
-    head = ds.select_columns(columns).sort(sort_key).limit(offset + limit).to_pandas()
+    head = partial_topk(
+        ds.select_columns(columns), [sort_key], ascending=[True], k=offset + limit
+    )
     return head.iloc[offset : offset + limit].reset_index(drop=True)
 
 
@@ -421,6 +425,39 @@ def metadata_statistics(sf_dir: str) -> pd.DataFrame:
             "n_missing": miss,
             "missing_bp": (miss * 10000) // total,
             "status": [metadata_status(int(m), int(t)) for m, t in zip(miss, total)],
+        }
+    )
+
+
+#: bibliometric field weights (quality.py:59-63 FIELD_WEIGHTS — tier 1
+#: critical = 3, tier 2 important = 2, tier 3 useful = 1), mapped onto the
+#: documents table's fields: the text body is the analysis-critical field,
+#: lang/source the important dimensions, n_chars the supplementary one
+HEALTH_WEIGHTS = {"text": 3, "lang": 2, "source": 2, "n_chars": 1}
+
+
+def health_score(sf_dir: str) -> pd.DataFrame:
+    """Weighted data-health score (quality.py:71-106 ``_compute_stats``):
+    the weighted mean of per-field fill rates, weights 3/2/1 by analytic
+    criticality, so missing critical fields sink the score hard while
+    supplementary gaps barely move it.
+
+    One streaming pass (the ``quality_stats`` partials); the scalar is
+    integer basis points — ``⌊10⁴·Σ(wᶜ·filledᶜ) / (total·Σwᶜ)⌋`` — so the
+    result is exact and hash-stable across partitionings.
+    """
+    stats = quality_stats(sf_dir)
+    total = int(stats["n_filled"].iloc[0] + stats["n_missing"].iloc[0])
+    w = stats["column_name"].map(HEALTH_WEIGHTS).astype(np.int64)
+    weighted = int((stats["n_filled"].astype(np.int64) * w).sum())
+    wsum = int(w.sum())
+    bp = (10000 * weighted) // (total * wsum) if total else 0
+    return pd.DataFrame(
+        {
+            "total_records": np.array([total], dtype=np.int64),
+            "weighted_filled": np.array([weighted], dtype=np.int64),
+            "weights_sum": np.array([wsum], dtype=np.int64),
+            "health_bp": np.array([bp], dtype=np.int64),
         }
     )
 
@@ -823,11 +860,34 @@ def sessionize(sf_dir: str, n_parts: int = 64) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def top_orders(sf_dir: str) -> rd.Dataset:
-    """Distributed top-k via ds.sort + limit (quality.py top-k analog) with a
-    deterministic tie-break (price desc, key asc)."""
+def partial_topk(
+    ds: rd.Dataset, by: list[str], ascending: list[bool], k: int
+) -> pd.DataFrame:
+    """Distributed top-k without a global sort: each block keeps only its
+    best ``k`` rows (a per-batch sort of one block), then one driver merge of
+    the ≤ blocks·k survivors. A ``ds.sort().limit(k)`` range-shuffles the
+    whole table to extract k rows; this ships k rows per block and touches
+    nothing else — the same partial+merge pattern as ``top_event_types``."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(by, ascending=ascending, kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def top_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-10 orders by price (quality.py top-k analog) with a deterministic
+    tie-break (price desc, key asc) — per-block partial top-k + driver merge,
+    no global sort."""
     ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return partial_topk(
+        ds, ["o_totalprice", "o_orderkey"], ascending=[False, True], k=10
+    )
 
 
 def events_pivot(sf_dir: str) -> pd.DataFrame:
@@ -960,6 +1020,44 @@ def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
             regs = np.maximum(regs, np.frombuffer(b, dtype=np.int8))
         rows.append({"event_type": et, "n_users_est": int(round(hll_estimate(regs)))})
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+def hll_oracle_sql(p: int = HLL_P) -> str:
+    """DuckDB oracle for ``hll_distinct_users`` — exact, not approximate:
+    the registers are a deterministic function of the SplitMix64 user-id
+    hashes, and the estimate arithmetic is reproducible bit-for-bit.
+
+    Register max is a plain GROUP BY; leading zeros come from DuckDB's
+    ``bin()`` (no leading zeros → lz = 64 − strlen). The float path is safe
+    to hash-compare: every ``2⁻ʳ`` term is a power of two with exponents
+    spanning < 53 bits, so ``Z`` is EXACT in float64 regardless of summation
+    order, and the remaining ops (one divide, or m·ln(m/V)) are identical
+    IEEE expressions on both sides (verified at sf0.001/0.01/0.1)."""
+    from bibexpy_ray.functions import hashing
+
+    m = 1 << p
+    sm_frag, sm_cte = hashing.splitmix64_sql_ctes(
+        "h0", "CAST(user_id AS UBIGINT)", "hv", carry=["event_type"], prefix="hll"
+    )
+    rest = hashing.modmul_sql("hv", m) + f" | {m - 1}"
+    alpha_raw = (
+        f"(0.7213 / (1 + 1.079 / {m})) * {m} * {m} / (z_present + ({m} - n_present))"
+    )
+    return (
+        "WITH h0 AS (SELECT event_type, user_id FROM events), "
+        f"{sm_frag}, "
+        f"r AS (SELECT event_type, hv >> {64 - p} AS idx, "
+        f"least(CAST(64 - length(bin({rest})) AS BIGINT) + 1, {64 - p}) AS rk "
+        f"FROM {sm_cte}), "
+        "mx AS (SELECT event_type, idx, MAX(rk) AS r FROM r GROUP BY 1, 2), "
+        "agg AS (SELECT event_type, count(*) AS n_present, "
+        "SUM(pow(2.0, -r)) AS z_present FROM mx GROUP BY 1) "
+        "SELECT event_type, CAST(round("
+        f"CASE WHEN {alpha_raw} <= 2.5 * {m} AND n_present < {m} "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - n_present)) "
+        f"ELSE {alpha_raw} END) AS BIGINT) AS n_users_est "
+        "FROM agg"
+    )
 
 
 def customers_without_urgent_orders(sf_dir: str) -> rd.Dataset:

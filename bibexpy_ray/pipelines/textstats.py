@@ -198,6 +198,51 @@ def fingerprint(sf_dir: str, k: int = 8, window: int = 16) -> rd.Dataset:
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def fingerprint_oracle_sql(k: int = 8, window: int = 16) -> str:
+    """DuckDB oracle for ``fingerprint`` — bit-exact, not approximate.
+
+    Reproduces the engine's whole chain in SQL: the rolling polynomial
+    k-gram hash (Horner with GOLDEN powers, mod 2⁶⁴ via the 32-bit split
+    multiply), the SplitMix64 finalize (chained CTEs from
+    ``hashing.splitmix64_sql_ctes``), the winnowing rightmost-min rule
+    (window-min over full windows only; whole-row min when a document has
+    ≤ ``window`` grams), dedup, and the order-free XOR digest reinterpreted
+    as int64. Valid for ASCII corpora (``unicode(substr(..))`` == the UTF-8
+    byte the engine hashes); the synthetic documents table is ASCII."""
+    m64 = 1 << 64
+    pows = [pow(hashing.GOLDEN_INT, t, m64) for t in range(k)]
+    terms = " + ".join(
+        f"CAST(unicode(substr(text, CAST(i AS INT) + {j}, 1)) AS HUGEINT)"
+        f" * {pows[k - 1 - j]}"
+        for j in range(k)
+    )
+    sm_frag, sm_cte = hashing.splitmix64_sql_ctes(
+        "g1", "rolled", "hv", carry=["doc_id", "i"], prefix="fp"
+    )
+    digest = hashing.ubigint_as_bigint_sql("coalesce(a.dg, 0)")
+    return (
+        "WITH g0 AS (SELECT doc_id, text, "
+        f"unnest(range(1, CAST(len(text) AS BIGINT) - {k - 2})) AS i "
+        "FROM documents), "
+        f"g1 AS (SELECT doc_id, i, CAST(({terms}) % {m64} AS UBIGINT) AS rolled FROM g0), "
+        f"{sm_frag}, "
+        "w AS (SELECT doc_id, hv, "
+        "count(*) OVER (PARTITION BY doc_id) AS ng, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn, "
+        "min(hv) OVER (PARTITION BY doc_id ORDER BY i "
+        f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS wmin, "
+        f"min(hv) OVER (PARTITION BY doc_id) AS gmin FROM {sm_cte}), "
+        "sel AS (SELECT DISTINCT doc_id, "
+        f"CASE WHEN ng <= {window} THEN gmin ELSE wmin END AS fp "
+        f"FROM w WHERE ng <= {window} OR rn >= {window}), "
+        "agg AS (SELECT doc_id, count(*) AS n_fp, bit_xor(fp) AS dg "
+        "FROM sel GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp, "
+        f"{digest} AS fp_digest "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+
+
 def fingerprint_kgrams(sf_dir: str, k: int = 8) -> rd.Dataset:
     """Distinct char k-gram count per document — the fingerprint pre-image
     cardinality (the winnowing input set before min-sampling), exposed as an

@@ -80,6 +80,98 @@ def test_oracle_keys_subset_of_queries(entrymod):
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
 
 
+def test_partial_topk_matches_global_sort():
+    """The per-block partial + driver merge must equal a global sort+limit
+    (including the descending-with-tie-break case) on a multi-block input."""
+    import ray.data as rd
+
+    from bibexpy_ray.pipelines.relational import partial_topk
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 400, n),  # duplicates exercise the tie-break
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(13)
+    got = partial_topk(ds, ["k", "id"], ascending=[False, True], k=25)
+    want = (
+        df.sort_values(["k", "id"], ascending=[False, True])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # k larger than some blocks (and than the dataset) stays correct
+    got_all = partial_topk(ds, ["k", "id"], ascending=[True, True], k=n + 10)
+    want_all = df.sort_values(["k", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_all, want_all)
+
+
+def test_health_score_weighted_arithmetic(entrymod):
+    """health_bp must equal the integer-exact weighted fill-rate mean derived
+    from quality_stats (weights 3/2/1 — quality.py:59-106 analog)."""
+    from bibexpy_ray.pipelines.relational import (
+        HEALTH_WEIGHTS,
+        health_score,
+        quality_stats,
+    )
+
+    hs = health_score(SF_DIR)
+    stats = quality_stats(SF_DIR)
+    total = int(stats["n_filled"].iloc[0] + stats["n_missing"].iloc[0])
+    num = sum(
+        int(r["n_filled"]) * HEALTH_WEIGHTS[r["column_name"]]
+        for _, r in stats.iterrows()
+    )
+    wsum = sum(HEALTH_WEIGHTS.values())
+    assert hs.shape == (1, 4)
+    assert int(hs["total_records"].iloc[0]) == total
+    assert int(hs["weighted_filled"].iloc[0]) == num
+    assert int(hs["weights_sum"].iloc[0]) == wsum
+    assert int(hs["health_bp"].iloc[0]) == (10000 * num) // (total * wsum)
+    # the weighted score must differ from the unweighted mean when fill
+    # rates differ per field (otherwise the weights are dead code); at
+    # minimum it is bounded by the extreme per-field rates
+    rates_bp = [
+        (10000 * int(r["n_filled"])) // total for _, r in stats.iterrows()
+    ]
+    assert min(rates_bp) <= int(hs["health_bp"].iloc[0]) <= max(rates_bp)
+
+
+def test_splitmix64_sql_parity_edge_values():
+    """The chained-CTE SQL splitmix64 must be bit-identical to the numpy
+    kernel, including values ≥ 2⁶³ (where signed casts would corrupt)."""
+    from bibexpy_ray.functions import hashing
+
+    vals = np.array(
+        [0, 1, 2**31, 2**32 - 1, 2**53 + 1, 2**63 - 1, 2**63, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    want = [int(v) for v in hashing.splitmix64(vals)]
+    frag, final = hashing.splitmix64_sql_ctes("src", "x", "h", ["i"], "t")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE src AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, CAST({int(v)} AS UBIGINT))" for i, v in enumerate(vals))
+        + ") AS t(i, x)"
+    )
+    got = con.execute(
+        f"WITH {frag} SELECT h FROM {final} ORDER BY i"
+    ).df()["h"].tolist()
+    assert [int(g) for g in got] == want
+    # and the signed reinterpretation helper matches np.view(int64)
+    signed = con.execute(
+        "SELECT "
+        + ", ".join(
+            hashing.ubigint_as_bigint_sql(f"CAST({int(v)} AS UBIGINT)")
+            for v in vals
+        )
+    ).fetchone()
+    assert list(signed) == [int(v) for v in vals.view(np.int64)]
+
+
 def test_embedding_lsh_recall(entrymod):
     from bibexpy_ray.pipelines.ann import embedding_neardup_lsh, embedding_neardup_pairs
 
