@@ -72,6 +72,13 @@ class DedupConfig:
     substring_pass: bool = True        # suffix-array containment candidates
     bucket_pair_cap: int = 2048        # max pairs emitted per LSH bucket before splitting
     seed: int = 42
+    # uid width in bits (production 64). The numeric row uid is made
+    # COLLISION-FREE per run by stages/signer.resolve_uid_collisions (detect
+    # colliding uids in one co-partition pass, salted-rehash the losers), so
+    # this knob exists for the collision-injection regression tests: masking
+    # the uid to few bits floods the resolver with collisions on a small
+    # corpus, and the pipeline must still produce bit-identical clusters.
+    uid_bits: int = 64
     signer_batch_size: int = 4096
     signer_concurrency: int | None = None  # None -> let Ray size the pool
     # path-input runs checkpoint the signature stage per input-file group

@@ -637,8 +637,12 @@ def dedup_images(
     ``skip_pairs_within`` (incremental mode, see pipelines/incremental.py):
     uint64 uids whose within-set candidate pairs are dropped before the
     verify stage — used when those rows are a base run's survivor index and
-    pairs among them were already adjudicated. Not part of the checkpoint
-    config: give incremental runs their own ``run_dir``.
+    pairs among them were already adjudicated. May be a bare sorted uid
+    array or ``(uids, witness)`` with the aligned ``_uid_w`` identity
+    witnesses — with witnesses, uid collision resolution treats the base
+    rows as reserved keepers, so a NEW row colliding with a base uid is
+    salted away instead of being silently swallowed by the gate. Not part
+    of the checkpoint config: give incremental runs their own ``run_dir``.
 
     ``extra_features`` (incremental mode): an already-SIGNED feature table
     (the signature stage's output schema, e.g. a base run's persisted
@@ -724,6 +728,20 @@ def dedup_images(
     if extra_features is not None:
         # incremental mode: the pre-signed index features union in AFTER the
         # signature stage — only the new shard paid featurization above
+        if "_uid_w" not in extra_features.schema().names:
+            # base run persisted by a pre-witness version: derive the
+            # identity witness from the id strings it does carry
+            from bibexpy_ray.stages.signer import uid_witness as _uw
+
+            def _add_w(t: pa.Table) -> pa.Table:
+                ids = t.column("image_id")
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                return t.append_column("_uid_w", pa.array(_uw(ids), type=pa.uint64()))
+
+            extra_features = extra_features.map_batches(
+                _add_w, batch_format="pyarrow"
+            )
         features = features.union(extra_features)
     # Pin the feature table (ids + signatures, bytes excluded — bounded at
     # ~1.1 KB/row) in the object store: five downstream consumers read it, and
@@ -739,6 +757,32 @@ def dedup_images(
     # busy. Results are partition-count-free (order-free reduces), so the
     # growth never changes answers across cluster sizes.
     n_coarse = max(64, int(ray.cluster_resources().get("CPU", 4)) * 2)
+
+    # ---- uid collision resolution -------------------------------------------
+    # normalize the incremental gate: bare sorted uids, or (uids, witness)
+    gate_uids = gate_w = None
+    if skip_pairs_within is not None:
+        if isinstance(skip_pairs_within, tuple):
+            gate_uids, gate_w = skip_pairs_within
+            gate_uids = np.asarray(gate_uids, dtype=np.uint64)
+            gate_w = np.asarray(gate_w, dtype=np.uint64)
+        else:
+            gate_uids = np.sort(
+                np.asarray(skip_pairs_within, dtype=np.uint64)
+            )
+    # make `_uid` collision-free (detect + salted-rehash; one 16 B/row
+    # co-partition pass in the no-collision common case). Base index rows
+    # (incremental) are reserved keepers when the gate carries witnesses.
+    from bibexpy_ray.stages.signer import replay_uid_rules, resolve_uid_collisions
+
+    features, uid_rules, n_uid_coll = resolve_uid_collisions(
+        features,
+        n_coarse,
+        uid_bits=cfg.uid_bits,
+        reserved=(gate_uids, gate_w) if gate_w is not None else None,
+    )
+    metrics["uid_collisions"] = n_uid_coll
+    _lap("s_uid_resolve")
 
     # ---- exact pre-collapse -------------------------------------------------
     def exact_stage():
@@ -791,15 +835,22 @@ def dedup_images(
     metrics["exact_edges"] = n_exact
     _lap("s_exact")
 
-    from bibexpy_ray.functions.hashing import text_hash_u64 as _th64
-
     def _loser_uid_batch(t: pa.Table) -> pa.Table:
         # id_b values are globally unique by construction: the exact groups
-        # partition rows and each loser appears in exactly one edge
+        # partition rows and each loser appears in exactly one edge.
+        # replay_uid_rules keeps these string-derived uids bit-identical to
+        # the resolved feature `_uid`s (collision-salted rows included)
         ids = t.column("id_b")
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        return pa.table({"_luid": pa.array(_th64(ids), type=pa.uint64())})
+        return pa.table(
+            {
+                "_luid": pa.array(
+                    replay_uid_rules(ids, uid_rules, cfg.uid_bits),
+                    type=pa.uint64(),
+                )
+            }
+        )
 
     if n_exact <= LOSER_BROADCAST_LIMIT:
         # collect ONLY the 8-byte loser uids (≤16 MB at the cap), never the
@@ -905,8 +956,8 @@ def dedup_images(
     # pure subset-drop of level (2)'s discards, so the surviving pair set —
     # and every downstream result — is bit-identical with or without it.
     gate_ref = None
-    if skip_pairs_within is not None and len(skip_pairs_within):
-        gate_ref = ray.put(np.sort(np.asarray(skip_pairs_within, dtype=np.uint64)))
+    if gate_uids is not None and len(gate_uids):
+        gate_ref = ray.put(gate_uids)
 
     # ---- candidate generation ----------------------------------------------
     def candidates_stage():
@@ -971,13 +1022,13 @@ def dedup_images(
             # suffix-sort containment pass (Stage-4 feeder for contained
             # captions whose Jaccard/prefix signals are too weak — the
             # partial-metadata-match analog, smart_merger.py:309-334)
-            from bibexpy_ray.functions.hashing import text_hash_u64
             from bibexpy_ray.stages.substring import containment_candidates
 
             def to_uid_pairs(df: pd.DataFrame) -> pd.DataFrame:
                 # containment works on id strings; the pair stream is numeric
-                a = text_hash_u64(df["id_a"].tolist())
-                b = text_hash_u64(df["id_b"].tolist())
+                # (replayed through the collision rules so salted rows join)
+                a = replay_uid_rules(df["id_a"].tolist(), uid_rules, cfg.uid_bits)
+                b = replay_uid_rules(df["id_b"].tolist(), uid_rules, cfg.uid_bits)
                 return pd.DataFrame(
                     {
                         "id_a": np.minimum(a, b),
@@ -1029,13 +1080,11 @@ def dedup_images(
             # by the base run (they stayed separate clusters) — drop them
             # BEFORE the dedupe shuffle so they never move again. The gate is
             # one sorted uint64 array in the object store (8 B per base
-            # canonical row), read zero-copy per task.
-            # Residual risk, accepted: the gate matches on the 64-bit uid
-            # alone (the pair stream carries uids, not id strings — a string
-            # guard would need the feature join this gate exists to avoid).
-            # A new row whose uid collides with a base uid would have its
-            # base-side pairs dropped (a missed merge, never a wrong merge);
-            # P < n_new * n_base / 2^64, ~1e-5 even at GATE_LIMIT.
+            # canonical row), read zero-copy per task. Gating on the bare
+            # u64 uid is EXACT here: resolve_uid_collisions salts any new
+            # row whose uid collides with a base uid (the gate's witnesses
+            # make base rows reserved keepers), so a gate hit implies true
+            # base membership up to the 128-bit double-hash residual.
             def drop_base_pairs(df: pd.DataFrame) -> pd.DataFrame:
                 from bibexpy_ray.functions.hashing import in_sorted_u64
 

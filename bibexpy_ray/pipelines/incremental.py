@@ -90,9 +90,30 @@ _GATE_DRIVER_READ_LIMIT = 5_000_000
 
 
 def _uid_gate(feats: rd.Dataset, feat_dir: str | None = None,
-              n_base: int | None = None) -> np.ndarray:
-    """Sorted uint64 uids of the index rows, collected block-by-block off the
-    feature table's ``_uid`` column (8 B/row — never a Python string list)."""
+              n_base: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """``(sorted uint64 uids, aligned witnesses)`` of the index rows,
+    collected block-by-block off the feature table's ``_uid`` / ``_uid_w``
+    columns (16 B/row — never a Python string list). The witness column lets
+    uid collision resolution treat base rows as reserved keepers (a new row
+    colliding with a base uid is salted away rather than swallowed by the
+    gate); pre-witness base runs fall back to hashing ``image_id``."""
+    names = feats.schema().names
+    has_w = "_uid_w" in names
+
+    def _with_witness(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        u = tbl.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if has_w:
+            w = tbl.column("_uid_w").to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            from bibexpy_ray.stages.signer import uid_witness
+
+            ids = tbl.column("image_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            w = uid_witness(ids)
+        return u, w
+
+    cols = ["_uid", "_uid_w"] if has_w else ["_uid", "image_id"]
     if (
         feat_dir is not None
         and n_base is not None
@@ -106,19 +127,23 @@ def _uid_gate(feats: rd.Dataset, feat_dir: str | None = None,
             if f.endswith(".parquet")
         ]
         if files:
-            u = pa.concat_tables(
-                [pq.read_table(f, columns=["_uid"]) for f in files]
-            ).column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
-            return np.sort(u)
-        return np.empty(0, dtype=np.uint64)
+            u, w = _with_witness(
+                pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+            )
+            order = np.argsort(u)
+            return u[order], w[order]
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
     blocks = [
-        b.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
-        for b in ray.get(feats.select_columns(["_uid"]).to_arrow_refs())
+        _with_witness(b)
+        for b in ray.get(feats.select_columns(cols).to_arrow_refs())
         if b.num_rows and "_uid" in b.schema.names
     ]
     if not blocks:
-        return np.empty(0, dtype=np.uint64)
-    return np.sort(np.concatenate(blocks))
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    u = np.concatenate([b[0] for b in blocks])
+    w = np.concatenate([b[1] for b in blocks])
+    order = np.argsort(u)
+    return u[order], w[order]
 
 
 def _expand_clusters(
@@ -403,23 +428,30 @@ def dedup_images_incremental(
         gate = None
         if n_base <= GATE_LIMIT:
             # uid gate hashed block-by-block off Arrow id arrays — no Python
-            # string list (the _loser_uid_batch pattern, dedup_images.py)
+            # string list (the _loser_uid_batch pattern, dedup_images.py).
+            # Witnesses ride along so collision resolution treats the base
+            # rows as reserved keepers (they are re-signed pre-resolution
+            # here, so the gate carries their BASE-hash uids).
+            from bibexpy_ray.stages.signer import uid_base, uid_witness
+
+            def _arr(b):
+                ids = b.column("image_id")
+                return ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+
             blocks = [
-                text_hash_u64(
-                    b.column("image_id").combine_chunks()
-                    if isinstance(b.column("image_id"), pa.ChunkedArray)
-                    else b.column("image_id")
-                )
+                (uid_base(_arr(b), cfg.uid_bits), uid_witness(_arr(b)))
                 for b in ray.get(
                     base_canon.select_columns(["image_id"]).to_arrow_refs()
                 )
                 if b.num_rows and "image_id" in b.schema.names
             ]
-            gate = (
-                np.sort(np.concatenate(blocks))
-                if blocks
-                else np.empty(0, dtype=np.uint64)
-            )
+            if blocks:
+                u = np.concatenate([b[0] for b in blocks])
+                w = np.concatenate([b[1] for b in blocks])
+                order = np.argsort(u)
+                gate = (u[order], w[order])
+            else:
+                gate = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
         _lap("s_incr_setup")
         res = dedup_images(
             base_canon.union(new_ds),
