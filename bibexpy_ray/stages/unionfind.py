@@ -203,57 +203,57 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
     O(log(max component diameter)) rounds for the near-star components dedup
     produces; converges when no label changes.
 
-    All shuffles are ``hash_partition_apply`` co-partition passes (mark the
-    build side, union, partition on the probe key, vectorized pandas merge
-    per partition). ``Dataset.join`` is deliberately NOT used: Ray's
-    hash-shuffle join reserves an aggregator ACTOR pool sized by
-    ``num_partitions`` (e.g. 64 aggregators × 0.25 CPU per join, and two
-    joins per plan here) — on a small cluster the pool cannot schedule and
-    the plan deadlocks, and at any scale the raw-task shuffle has no actor
-    floor to warm up. Ids may be strings or int64; int64 survives the
-    promotion to pandas only below 2^53 (≈9e15 — far above any realistic
-    row count; the flagship uses string ids which are exact at any scale).
+    All shuffles are ``hash_partition_apply`` co-partition passes in ARROW
+    mode end to end — the reduces run pyarrow ``group_by`` / local Acero
+    ``Table.join`` / ``pc.min_element_wise`` with no pandas hop, so no
+    per-round Python-object conversion of the id columns and int64 ids stay
+    exact at any scale (no float64 null-promotion). ``Dataset.join`` is
+    deliberately NOT used: Ray's hash-shuffle join reserves an aggregator
+    ACTOR pool sized by ``num_partitions`` (e.g. 64 aggregators × 0.25 CPU
+    per join, and two joins per plan here) — on a small cluster the pool
+    cannot schedule and the plan deadlocks, and at any scale the raw-task
+    shuffle has no actor floor to warm up. A per-reduce LOCAL Acero join is
+    a different thing entirely: plain C hash-join over one partition's rows
+    inside an ordinary task. Ids may be strings or int64.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from bibexpy_ray.functions import hashing
     from bibexpy_ray.stages.shuffle import hash_partition_apply
 
     import ray as _ray
 
-    edges = edges_ds.map_batches(
-        lambda df: pd.DataFrame({"id_a": df["id_a"], "id_b": df["id_b"]}),
-        batch_format="pandas",
-    ).materialize()
-    cpus = int(_ray.cluster_resources().get("CPU", 4))
-    n_parts = max(2, min(max(2, edges.num_blocks()), cpus * 4))
-
-    # int64 ids null-promote to float64 on the pandas hop inside each
-    # reduce; every reduce output is cast back so the NEXT Arrow concat
-    # sees one consistent type (exact below 2^53 — see docstring)
-    import pyarrow as _pa
-
-    _sch = edges.schema().base_schema
-    if isinstance(_sch, _pa.Schema):
-        id_is_int = _pa.types.is_integer(_sch.field("id_a").type)
+    _sch = edges_ds.schema().base_schema
+    if isinstance(_sch, pa.Schema):
+        id_is_int = pa.types.is_integer(_sch.field("id_a").type)
     else:  # PandasBlockSchema (pandas-block upstream)
         id_is_int = np.issubdtype(
             _sch.types[list(_sch.names).index("id_a")], np.integer
         )
+    #: one canonical id type for every block this function creates — mixed
+    #: string/large_string blocks would fail the reduce-side Arrow concat.
+    #: ``string`` (not large_string) because downstream consumers union the
+    #: label table with pandas-derived string blocks (canonical scale path);
+    #: per-block offsets stay far under the int32 ceiling.
+    _idt = pa.int64() if id_is_int else pa.string()
 
-    def _cast_ids(df: pd.DataFrame) -> pd.DataFrame:
-        if id_is_int:
-            for c in df.columns:
-                df[c] = df[c].astype(np.int64)
-        return df
+    def _norm_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t.column("id_a").cast(_idt),
+                "id_b": t.column("id_b").cast(_idt),
+            }
+        )
+
+    edges = edges_ds.map_batches(_norm_edges, batch_format="pyarrow").materialize()
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    n_parts = max(2, min(max(2, edges.num_blocks()), cpus * 4))
 
     def _key_on(col):
         def key(t):
             c = t.column(col)
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
             if pa.types.is_integer(c.type):
                 v = c.to_numpy(zero_copy_only=False).astype(np.uint64)
                 h = hashing.splitmix64(v)
@@ -265,23 +265,28 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
 
         return key
 
+    def _mt(**cols: "pa.DataType") -> pa.Table:
+        return pa.schema(list(cols.items())).empty_table()
+
+    def _col(t: pa.Table, name: str) -> pa.Array:
+        c = t.column(name)
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
     # labels start as identity over every endpoint id, deduped per partition
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        ids = pd.unique(pd.concat([df["id_a"], df["id_b"]], ignore_index=True))
-        return pd.DataFrame({"image_id": ids, "cluster_id": ids})
-
-    def dedupe_min(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby("image_id", as_index=False)["cluster_id"].min()
-        return _cast_ids(
-            pd.DataFrame({"image_id": g["image_id"], "cluster_id": g["cluster_id"]})
+    def init_labels(t: pa.Table) -> pa.Table:
+        ids = pc.unique(
+            pa.concat_arrays([_col(t, "id_a").cast(_idt), _col(t, "id_b").cast(_idt)])
         )
+        return pa.table({"image_id": ids, "cluster_id": ids})
 
-    # zero-row exemplars: empty partitions must still emit each stage's
-    # OUTPUT schema (hash_partition_apply's empty_like contract)
-    _idt = np.int64 if id_is_int else object
-
-    def _mt(*cols: str) -> pd.DataFrame:
-        return pd.DataFrame({c: pd.Series([], dtype=_idt) for c in cols})
+    def dedupe_min(part: pa.Table) -> pa.Table:
+        g = part.group_by("image_id").aggregate([("cluster_id", "min")])
+        return pa.table(
+            {
+                "image_id": g.column("image_id").cast(_idt),
+                "cluster_id": g.column("cluster_id_min").cast(_idt),
+            }
+        )
 
     # per-partition pre-contraction: local connected components inside each
     # hash partition replace its edge subset by a star forest (canonical ->
@@ -290,68 +295,80 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
     # rounds start closer to the fixpoint with less data per round. Ids seen
     # only in self-edges keep a self-edge so they still surface as singleton
     # labels (the un-contracted path labels them too).
-    def contract(part: pd.DataFrame) -> pd.DataFrame:
-        a = part["id_a"].to_numpy()
-        b = part["id_b"].to_numpy()
+    def contract(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _mt(id_a=_idt, id_b=_idt)
+        ca, cb = _col(part, "id_a"), _col(part, "id_b")
         if id_is_int:
-            mem, canon = clusters_driver_ints(a, b)
-        else:
-            mem, canon = clusters_driver_arrays(a, b)
-        all_ids = pd.unique(np.concatenate([a, b]))
-        # self-edge-only endpoints (hash-based isin: object-dtype setdiff1d
-        # would sort with Python-level compares)
-        lone = all_ids[~pd.Series(all_ids).isin(mem).to_numpy()]
-        keep = mem != canon
-        return _cast_ids(
-            pd.DataFrame(
-                {
-                    "id_a": np.concatenate([canon[keep], lone]),
-                    "id_b": np.concatenate([mem[keep], lone]),
-                }
+            mem, canon = clusters_driver_ints(
+                ca.to_numpy(zero_copy_only=False), cb.to_numpy(zero_copy_only=False)
             )
+            mem_a = pa.array(mem, type=_idt)
+            canon_a = pa.array(canon, type=_idt)
+        else:
+            ids, lab, _ = clusters_driver_arrow(ca, cb)
+            mem_a = ids.cast(_idt)
+            canon_a = ids.take(pa.array(lab)).cast(_idt)
+        all_ids = pc.unique(pa.concat_arrays([ca.cast(_idt), cb.cast(_idt)]))
+        lone = all_ids.filter(
+            pc.invert(pc.is_in(all_ids, value_set=mem_a))
+        )
+        keep = pc.invert(pc.equal(mem_a, canon_a))
+        return pa.table(
+            {
+                "id_a": pa.concat_arrays([canon_a.filter(keep), lone]),
+                "id_b": pa.concat_arrays([mem_a.filter(keep), lone]),
+            }
         )
 
     edges = hash_partition_apply(
         edges, n_parts, contract, key_fn=_key_on("id_a"),
-        empty_like=_mt("id_a", "id_b"),
+        empty_like=_mt(id_a=_idt, id_b=_idt), arrow=True,
     ).materialize()
 
     labels = hash_partition_apply(
-        edges.map_batches(init_labels, batch_format="pandas"),
+        edges.map_batches(init_labels, batch_format="pyarrow"),
         n_parts,
         dedupe_min,
         key_fn=_key_on("image_id"),
-        empty_like=_mt("image_id", "cluster_id"),
+        empty_like=_mt(image_id=_idt, cluster_id=_idt),
+        arrow=True,
     ).materialize()
 
-    def attach_lab(part: pd.DataFrame, key: str, out_col: str) -> pd.DataFrame:
+    def attach_lab(part: pa.Table, key: str, out_col: str) -> pa.Table:
         # build side = label rows (identified by the _lab marker column);
         # probe side = edge rows. Every endpoint is labeled by construction,
-        # so the left merge is total.
-        if "_lab" not in part.columns:
-            return part.iloc[0:0]
-        is_lab = part["_lab"].notna()
-        build = pd.DataFrame(
-            {key: part.loc[is_lab, key], out_col: part.loc[is_lab, "_lab"]}
+        # so the left join is total. Local Acero hash join — C-speed, no
+        # pandas objects.
+        cols = {"id_a": _idt, "id_b": _idt}
+        if key == "id_b":
+            cols["lab_a"] = _idt
+        cols[out_col] = _idt
+        if "_lab" not in part.schema.names:
+            return _mt(**cols)
+        is_lab = pc.is_valid(part.column("_lab"))
+        build = pa.table(
+            {key: _col(part.filter(is_lab), key), out_col: _col(part.filter(is_lab), "_lab")}
         )
-        probe = part.loc[~is_lab].drop(columns=["_lab"])
-        if len(probe) == 0 or len(build) == 0:
-            return _cast_ids(
-                probe.assign(**{out_col: pd.Series([], dtype=object)}).iloc[0:0]
-            )
-        return _cast_ids(probe.merge(build, on=key, how="left"))
+        probe = part.filter(pc.invert(is_lab)).drop_columns(["_lab"])
+        if probe.num_rows == 0 or build.num_rows == 0:
+            return _mt(**cols)
+        joined = probe.join(build, key, join_type="left outer")
+        # Acero does not guarantee column order; rebuild in contract order
+        return pa.table({c: joined.column(c).cast(t) for c, t in cols.items()})
 
     def marked_labels(lab_ds, key: str):
         # label rows carry BOTH id columns (key = the probe key, the other
-        # mirrors it) so no shared id column is ever null — int64 types
-        # survive the Arrow concat in the next shuffle intact
+        # mirrors it) so no shared id column is ever null across the concat
         other = "id_b" if key == "id_a" else "id_a"
-        return lab_ds.map_batches(
-            lambda df, k=key, o=other: pd.DataFrame(
-                {k: df["image_id"], o: df["image_id"], "_lab": df["cluster_id"]}
-            ),
-            batch_format="pandas",
-        )
+
+        def mark(t: pa.Table, k=key, o=other) -> pa.Table:
+            ids = _col(t, "image_id")
+            return pa.table(
+                {k: ids, o: ids, "_lab": _col(t, "cluster_id")}
+            )
+
+        return lab_ds.map_batches(mark, batch_format="pyarrow")
 
     for _ in range(max_rounds):
         # edge endpoints pick up their current labels (two co-partition passes)
@@ -360,96 +377,118 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
             n_parts,
             lambda p: attach_lab(p, "id_a", "lab_a"),
             key_fn=_key_on("id_a"),
-            empty_like=_mt("id_a", "id_b", "lab_a"),
+            empty_like=_mt(id_a=_idt, id_b=_idt, lab_a=_idt),
+            arrow=True,
         )
         with_ab = hash_partition_apply(
             with_a.union(marked_labels(labels, "id_b")),
             n_parts,
             lambda p: attach_lab(p, "id_b", "lab_b"),
             key_fn=_key_on("id_b"),
-            empty_like=_mt("id_a", "id_b", "lab_a", "lab_b"),
+            empty_like=_mt(id_a=_idt, id_b=_idt, lab_a=_idt, lab_b=_idt),
+            arrow=True,
         )
 
-        def emit_min(df: pd.DataFrame) -> pd.DataFrame:
-            lo = df[["lab_a", "lab_b"]].min(axis=1)
-            return pd.concat(
-                [
-                    pd.DataFrame({"image_id": df["id_a"], "cluster_id": lo}),
-                    pd.DataFrame({"image_id": df["id_b"], "cluster_id": lo}),
-                ]
+        def emit_min(t: pa.Table) -> pa.Table:
+            lo = pc.min_element_wise(_col(t, "lab_a"), _col(t, "lab_b"))
+            return pa.table(
+                {
+                    "image_id": pa.concat_arrays(
+                        [_col(t, "id_a").cast(_idt), _col(t, "id_b").cast(_idt)]
+                    ),
+                    "cluster_id": pa.concat_arrays([lo.cast(_idt)] * 2),
+                }
             )
 
-        prop = with_ab.map_batches(emit_min, batch_format="pandas").union(labels)
+        prop = with_ab.map_batches(emit_min, batch_format="pyarrow").union(labels)
         new_labels = hash_partition_apply(
             prop, n_parts, dedupe_min, key_fn=_key_on("image_id"),
-            empty_like=_mt("image_id", "cluster_id"),
+            empty_like=_mt(image_id=_idt, cluster_id=_idt), arrow=True,
         )
         # pointer jumping: follow the label's own label (grandparent
         # shortcut). Every cluster_id is itself a labeled node, so the
         # lookup is total.
-        probe = new_labels.map_batches(
-            lambda df: pd.DataFrame(
-                {"image_id": df["image_id"], "jump_key": df["cluster_id"]}
-            ),
-            batch_format="pandas",
-        )
-        build = new_labels.map_batches(
+        def to_probe(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"image_id": _col(t, "image_id"), "jump_key": _col(t, "cluster_id")}
+            )
+
+        def to_build(t: pa.Table) -> pa.Table:
             # image_id mirrors jump_key (dummy, filtered out in the reduce)
             # so the shared id columns stay null-free across the concat
-            lambda df: pd.DataFrame(
+            return pa.table(
                 {
-                    "image_id": df["image_id"],
-                    "jump_key": df["image_id"],
-                    "_lab": df["cluster_id"],
+                    "image_id": _col(t, "image_id"),
+                    "jump_key": _col(t, "image_id"),
+                    "_lab": _col(t, "cluster_id"),
                 }
-            ),
-            batch_format="pandas",
-        )
+            )
 
-        def jump(part: pd.DataFrame) -> pd.DataFrame:
-            if "_lab" not in part.columns:
-                return part.iloc[0:0]
-            is_lab = part["_lab"].notna()
-            bmap = pd.DataFrame(
+        probe = new_labels.map_batches(to_probe, batch_format="pyarrow")
+        build = new_labels.map_batches(to_build, batch_format="pyarrow")
+
+        def jump(part: pa.Table) -> pa.Table:
+            if "_lab" not in part.schema.names:
+                return _mt(image_id=_idt, cluster_id=_idt)
+            is_lab = pc.is_valid(part.column("_lab"))
+            bm = part.filter(is_lab)
+            bmap = pa.table(
+                {"jump_key": _col(bm, "jump_key"), "cluster_id": _col(bm, "_lab")}
+            )
+            pr = part.filter(pc.invert(is_lab)).select(["image_id", "jump_key"])
+            if pr.num_rows == 0 or bmap.num_rows == 0:
+                return _mt(image_id=_idt, cluster_id=_idt)
+            m = pr.join(bmap, "jump_key", join_type="left outer")
+            return pa.table(
                 {
-                    "jump_key": part.loc[is_lab, "jump_key"],
-                    "cluster_id": part.loc[is_lab, "_lab"],
+                    "image_id": m.column("image_id").cast(_idt),
+                    "cluster_id": m.column("cluster_id").cast(_idt),
                 }
-            ).drop_duplicates("jump_key")
-            pr = part.loc[~is_lab, ["image_id", "jump_key"]]
-            m = pr.merge(bmap, on="jump_key", how="left")
-            return _cast_ids(
-                pd.DataFrame({"image_id": m["image_id"], "cluster_id": m["cluster_id"]})
             )
 
         new_labels = hash_partition_apply(
             probe.union(build), n_parts, jump, key_fn=_key_on("jump_key"),
-            empty_like=_mt("image_id", "cluster_id"),
+            empty_like=_mt(image_id=_idt, cluster_id=_idt), arrow=True,
         ).materialize()
 
         # convergence: any label changed this round? (one more co-partition)
-        old = labels.map_batches(
-            lambda df: pd.DataFrame({"image_id": df["image_id"], "_lab": df["cluster_id"]}),
-            batch_format="pandas",
-        )
-
-        def count_changed(part: pd.DataFrame) -> pd.DataFrame:
-            if "_lab" not in part.columns or "cluster_id" not in part.columns:
-                return pd.DataFrame({"c": [0]})
-            is_old = part["cluster_id"].isna()
-            om = pd.DataFrame(
-                {"image_id": part.loc[is_old, "image_id"], "old": part.loc[is_old, "_lab"]}
+        def to_old(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"image_id": _col(t, "image_id"), "_lab": _col(t, "cluster_id")}
             )
-            nw = part.loc[~is_old, ["image_id", "cluster_id"]]
-            m = nw.merge(om, on="image_id", how="left")
-            return pd.DataFrame({"c": [int((m["old"] != m["cluster_id"]).sum())]})
+
+        old = labels.map_batches(to_old, batch_format="pyarrow")
+
+        def count_changed(part: pa.Table) -> pa.Table:
+            names = part.schema.names
+            if "_lab" not in names or "cluster_id" not in names:
+                return pa.table({"c": pa.array([0], type=pa.int64())})
+            is_old = pc.is_null(part.column("cluster_id"))
+            om_t = part.filter(is_old)
+            om = pa.table(
+                {"image_id": _col(om_t, "image_id"), "old": _col(om_t, "_lab")}
+            )
+            nw = part.filter(pc.invert(is_old)).select(["image_id", "cluster_id"])
+            if nw.num_rows == 0:
+                return pa.table({"c": pa.array([0], type=pa.int64())})
+            m = nw.join(om, "image_id", join_type="left outer")
+            diff = pc.sum(
+                pc.cast(
+                    pc.fill_null(
+                        pc.not_equal(m.column("old"), m.column("cluster_id")), True
+                    ),
+                    pa.int64(),
+                )
+            ).as_py() or 0
+            return pa.table({"c": pa.array([int(diff)], type=pa.int64())})
 
         changed = hash_partition_apply(
             new_labels.union(old),
             n_parts,
             count_changed,
             key_fn=_key_on("image_id"),
-            empty_like=pd.DataFrame({"c": pd.Series([], dtype=np.int64)}),
+            empty_like=pa.table({"c": pa.array([], type=pa.int64())}),
+            arrow=True,
         ).sum("c")
         labels = new_labels
         if not changed:
