@@ -216,3 +216,90 @@ def test_country_blocks_skew_distributed(entryray):
     narnia_rids = {int(k) for k, i in zip(keys, range(n)) if i % 5 in (3, 4)}
     assert int(t2["n_records"].iloc[0]) == len(narnia_rids)
     assert "Narnia" in t2["variants"].iloc[0] and "Narnja" in t2["variants"].iloc[0]
+
+
+def _random_c1_cells(n: int, seed: int) -> list[str]:
+    """Randomized C1 cells covering the parser's edge shapes: author
+    brackets (with inner ';'), multiple addresses, org/subunit/geo
+    segments, country variants, unknown tokens, empties, stray commas."""
+    import random
+
+    rng = random.Random(seed)
+    insts = ["Univ Alpha", "Natl Inst 7", "Dept Phys", "Tech Ctr", "Museum X",
+             "School of Arts", "Acme Corp", "Hosp St Jude", "Lab2 Beta"]
+    places = ["City 4", "TX 77005", "Springfield", "CA", "Region 9"]
+    countries = ["USA", "U.S.A.", "Peoples R China", "Narnia", "Germany",
+                 "turkiye", "England", ""]
+    cells = []
+    for _ in range(n):
+        n_addr = rng.randint(0, 3)
+        addrs = []
+        for _a in range(n_addr):
+            segs = rng.sample(insts, rng.randint(0, 3)) + rng.sample(
+                places, rng.randint(0, 2)
+            )
+            if rng.random() < 0.8:
+                segs.append(rng.choice(countries))
+            addr = ", ".join(segs)
+            if rng.random() < 0.5:
+                addr = f"[Smith, J; Doe, A] {addr}"
+            if rng.random() < 0.1:
+                addr = f"  {addr} , "
+            addrs.append(addr)
+        cell = "; ".join(addrs)
+        if rng.random() < 0.05:
+            cell += ";"
+        if rng.random() < 0.05:
+            cell = ""
+        cells.append(cell)
+    return cells
+
+
+def test_vectorized_c1_paths_match_scalar():
+    """The pandas-vectorized C1 kernels (explode/country/institution/
+    rewrite-changed) must be value-identical to the scalar reference
+    kernels on randomized cells including bracket/empty/trailing shapes."""
+    from bibexpy_ray.functions import geo as fgeo
+    from bibexpy_ray.pipelines.geo import (
+        _canonical_country_vec,
+        _explode_addresses,
+        _last_comma_token,
+        institutions_vec,
+        rewrite_changed_vec,
+    )
+
+    cells = _random_c1_cells(600, seed=9)
+    s = pd.Series(cells)
+
+    # address explosion
+    want_addrs = [(i, a) for i, v in enumerate(cells)
+                  for a in fgeo.split_c1_addresses(v)]
+    got = _explode_addresses(s)
+    got_pairs = sorted(zip(got.index.tolist(), got.tolist()))
+    assert got_pairs == sorted(want_addrs)
+
+    # country tokens + canonicalization
+    addrs = pd.Series([a for _, a in want_addrs])
+    got_canon = _canonical_country_vec(_last_comma_token(addrs))
+    for k, (_, a) in enumerate(want_addrs):
+        parts = [p.strip() for p in a.split(",") if p.strip()]
+        want = fgeo.canonical_country(parts[-1]) if parts else None
+        gotv = got_canon.iloc[k]
+        assert (want is None and pd.isna(gotv)) or want == gotv, a
+
+    # institution selection
+    got_inst = institutions_vec(addrs)
+    for k, (_, a) in enumerate(want_addrs):
+        want = fgeo.parse_c1_address(a)["institution"]
+        assert got_inst.iloc[k] == want or (want is None and got_inst.iloc[k] is None), a
+
+    # rewrite-changed flags
+    mapping = {
+        **{k: v for k, v in fgeo.COUNTRY_VARIANTS.items()},
+        **{c.lower(): c for c in fgeo.CANONICAL_COUNTRIES},
+    }
+    want_flags = np.array(
+        [fgeo.replace_country_in_c1(v, mapping) != v for v in cells]
+    )
+    got_flags = rewrite_changed_vec(s, mapping)
+    assert (got_flags == want_flags).all()
