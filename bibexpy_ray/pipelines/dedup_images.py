@@ -775,9 +775,13 @@ def dedup_images(
     # (incremental) are reserved keepers when the gate carries witnesses.
     from bibexpy_ray.stages.signer import replay_uid_rules, resolve_uid_collisions
 
+    # detection partitions sized by ROW COUNT, not CPU count: the pass moves
+    # 16 B/row, so at small corpora the B x P object bookkeeping IS the wall
+    # time; the count is free metadata on the materialized pin
+    n_uid_parts = max(8, min(n_coarse, int(features.count()) // 250_000 + 1))
     features, uid_rules, n_uid_coll = resolve_uid_collisions(
         features,
-        n_coarse,
+        n_uid_parts,
         uid_bits=cfg.uid_bits,
         reserved=(gate_uids, gate_w) if gate_w is not None else None,
     )

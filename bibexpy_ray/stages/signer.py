@@ -204,6 +204,11 @@ def resolve_uid_collisions(
     rules: list[tuple[np.ndarray, np.ndarray, int]] = []
     n_collisions = 0
     res_ref = ray.put(reserved)
+    # below this many rows the (uid, witness) pairs collect to the driver
+    # (16 B/row — ≤80 MB at the cap) and detection is one lexsort there;
+    # the co-partition shuffle's fixed task/object bookkeeping dominates the
+    # pass at bench scales. Above the cap the distributed pass runs.
+    driver_detect = int(features.count()) <= 5_000_000
 
     def _key(t: pa.Table) -> np.ndarray:
         u = t.column("_uid").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -246,14 +251,28 @@ def resolve_uid_collisions(
         )
 
     for round_no in range(max_rounds + 1):
-        coll = hash_partition_apply(
-            features.select_columns(["_uid", "_uid_w"]),
-            num_partitions,
-            detect,
-            key_fn=_key,
-            empty_like=_detect_empty,
-            arrow=True,
-        ).to_pandas()
+        if driver_detect:
+            blocks = [
+                b.select(["_uid", "_uid_w"])
+                for b in ray.get(
+                    features.select_columns(["_uid", "_uid_w"]).to_arrow_refs()
+                )
+                if b.num_rows and "_uid" in b.schema.names
+            ]
+            coll = detect(
+                pa.concat_tables(blocks)
+                if blocks
+                else _detect_empty.rename_columns(["_uid", "_uid_w"])
+            ).to_pandas()
+        else:
+            coll = hash_partition_apply(
+                features.select_columns(["_uid", "_uid_w"]),
+                num_partitions,
+                detect,
+                key_fn=_key,
+                empty_like=_detect_empty,
+                arrow=True,
+            ).to_pandas()
         if coll.empty:
             break
         if round_no == max_rounds:
