@@ -138,3 +138,32 @@ def test_bytes_column_never_required(result, corpus_table):
     no_bytes = rd.from_arrow(corpus_table.drop_columns(["bytes"]))
     res2 = dedup_images(no_bytes, DedupConfig())
     assert res2.cluster_map == result.cluster_map
+
+
+def test_read_corpus_lance_dispatch(monkeypatch, ray_session, tmp_path):
+    """A .lance path must dispatch to ray.data.read_lance (live code even
+    though the lance wheel is absent in this sandbox — parquet stands in
+    per the documented decision in read_corpus); without the package the
+    gate raises a clear NotImplementedError instead of a confusing
+    ImportError deep in a worker."""
+    import ray.data as rd
+
+    from bibexpy_ray.pipelines.dedup_images import read_corpus
+
+    calls = {}
+
+    def fake_read_lance(path, **kw):
+        calls["path"] = path
+        return rd.range(1)
+
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+    out = read_corpus("/data/corpus.lance")
+    assert calls["path"] == "/data/corpus.lance"
+    assert out.count() == 1
+
+    def broken_read_lance(path, **kw):
+        raise ImportError("No module named 'lance'")
+
+    monkeypatch.setattr(rd, "read_lance", broken_read_lance, raising=False)
+    with pytest.raises(NotImplementedError, match="lance package"):
+        read_corpus("/data/corpus.lance")
