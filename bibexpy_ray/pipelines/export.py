@@ -98,3 +98,57 @@ def save_run(result: DedupResult, ds: rd.Dataset, out_dir: str) -> dict:
 def load_manifest(out_dir: str) -> dict:
     with open(os.path.join(out_dir, "manifest.json")) as f:
         return json.load(f)
+
+
+def export_run_xlsx(result: DedupResult, path: str) -> str:
+    """Statistic.xlsx-style workbook for a dedup run (smart_merger.py:770-791
+    writes merged.xlsx + audit side-sheets; the reference UI serves them as
+    downloads). Sheets: Summary (metrics), Clusters, Match_Audit,
+    Borderline. Driver-side sink for the bounded report tables — the bulk
+    canonical rows stay in parquet (see save_run)."""
+    from bibexpy_ray.sources.xlsx import write_xlsx
+
+    summary = pd.DataFrame(
+        {
+            "Metric": list(result.metrics),
+            "Value": [result.metrics[k] for k in result.metrics],
+        }
+    )
+    return write_xlsx(
+        {
+            "Summary": summary,
+            "Clusters": result.clusters,
+            "Match_Audit": result.audit,
+            "Borderline": result.borderline,
+        },
+        path,
+    )
+
+
+def overview_xlsx(sf_dir: str, path: str) -> str:
+    """Data-health overview workbook (quality.py:196-214 /overview XLSX):
+    a Summary sheet (total records + weighted health score) and a Fields
+    sheet (per-field filled/missing/fill-rate), computed by the streaming
+    quality partials."""
+    from bibexpy_ray.pipelines.relational import health_score, quality_stats
+    from bibexpy_ray.sources.xlsx import write_xlsx
+
+    stats = quality_stats(sf_dir)
+    hs = health_score(sf_dir)
+    total = int(hs["total_records"].iloc[0])
+    fields = pd.DataFrame(
+        {
+            "Field": stats["column_name"],
+            "Total": total,
+            "Filled": stats["n_filled"],
+            "Missing": stats["n_missing"],
+            "Fill rate (%)": (stats["n_filled"] * 1000 // max(total, 1)) / 10.0,
+        }
+    )
+    summary = pd.DataFrame(
+        {
+            "Metric": ["Total records", "Health score (%)"],
+            "Value": [total, int(hs["health_bp"].iloc[0]) / 100.0],
+        }
+    )
+    return write_xlsx({"Summary": summary, "Fields": fields}, path)
