@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_clusters": entity.customer_name_clusters,
         "source_classifier": mlscore.source_classifier,
         "keyword_tagger": mlscore.keyword_tagger,
+        "keyword_tagger_rf": mlscore.keyword_tagger_rf,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         # multimodal (synthetic image corpus — no external data)

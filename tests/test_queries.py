@@ -474,3 +474,66 @@ def test_asof_cogroup_tie_at_equal_timestamp(tmp_path, ray_session):
     # broadcast path agrees
     b = asof_join_events_orders(str(tmp_path)).set_index("event_id")
     pd.testing.assert_frame_equal(out.sort_index(), b.sort_index())
+
+
+def test_tfidf_matches_sklearn_semantics():
+    """Vocabulary, smooth idf and l2 norm must follow sklearn defaults
+    (hand-computed on a toy corpus)."""
+    from bibexpy_ray.pipelines.mlscore import TfidfModel
+
+    docs = ["apple banana apple", "banana cherry", "apple cherry cherry dates"]
+    m = TfidfModel()
+    X = m.fit_transform(docs)
+    assert sorted(m.vocab) == ["apple", "banana", "cherry", "dates"]
+    n = 3
+    import math
+
+    def idf(df_):
+        return math.log((1 + n) / (1 + df_)) + 1.0
+
+    want_idf = {"apple": idf(2), "banana": idf(2), "cherry": idf(2), "dates": idf(1)}
+    for t, j in m.vocab.items():
+        assert abs(m.idf[j] - want_idf[t]) < 1e-12
+    # row 0: apple x2, banana x1, l2-normalized
+    v = np.zeros(4)
+    v[m.vocab["apple"]] = 2 * want_idf["apple"]
+    v[m.vocab["banana"]] = 1 * want_idf["banana"]
+    v /= np.linalg.norm(v)
+    assert np.allclose(X[0], v)
+    # max_features keeps the corpus-frequency top terms
+    m2 = TfidfModel(max_features=2)
+    m2.fit(docs)
+    assert sorted(m2.vocab) == ["apple", "cherry"]  # tf 3 each; banana/dates drop
+
+
+def test_random_forest_recovers_separable_labels():
+    from bibexpy_ray.pipelines.mlscore import RandomForest
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(200, 10))
+    y = (X[:, 3] > 0.2).astype(np.float64)
+    rf = RandomForest(n_estimators=12, seed=7).fit(X, y)
+    p = rf.predict_proba(X)
+    assert ((p >= 0.5) == y.astype(bool)).mean() > 0.95
+    # deterministic given the seed
+    p2 = RandomForest(n_estimators=12, seed=7).fit(X, y).predict_proba(X)
+    assert np.array_equal(p, p2)
+
+
+def test_keyword_tagger_rf_multilabel(entrymod):
+    """TF-IDF + forest tagger: same output contract as the centroid path;
+    the training rows must largely recover their own (lang, length) labels."""
+    out = _to_pandas(entrymod.queries()["keyword_tagger_rf"](SF_DIR))
+    assert list(out.columns) == ["doc_id", "pred_labels", "n_labels"]
+    assert len(out) == 500
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    merged = out.merge(docs, on="doc_id")
+    has_lang = merged["pred_labels"].fillna("").str.split("; ").apply(set)
+    recov = np.mean([
+        l in s for l, s in zip(merged["lang"].astype(str), has_lang)
+    ])
+    assert recov > 0.6, f"lang-label recovery too low: {recov:.2f}"
