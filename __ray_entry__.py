@@ -185,7 +185,7 @@ def _lang_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from bibexpy_ray.pipelines import geo, relational, textstats
+    from bibexpy_ray.pipelines import docdedup, geo, relational, textstats
 
     stop = _stopword_sql_list()
     ep = _CENTS.format(col="l_extendedprice")
@@ -631,11 +631,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": _lang_id_sql(),
         # bit-exact SQL replays of the engine's own 64-bit hash chains
-        # (SplitMix64 + rolling k-gram / HLL registers as chained CTEs)
+        # (SplitMix64 + rolling k-gram / HLL registers / majority-bit
+        # SimHash as chained CTEs)
         "fingerprint": textstats.fingerprint_oracle_sql(),
         "hll_distinct_users": relational.hll_oracle_sql(),
+        "simhash_pairs": docdedup.simhash_pairs_oracle_sql(),
         # no oracle (non-SQL-expressible → driver rows-only check):
-        # simhash_pairs (custom 64-bit hash),
         # embedding_neardup_lsh (approximate; pytest-checked vs the exact
         # variant), smart_match (greedy stateful 1:1 assignment),
         # entity_clusters / source_classifier / keyword_tagger (greedy

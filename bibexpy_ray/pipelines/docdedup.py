@@ -879,3 +879,52 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
     out = _simhash_pairs_ds(sf_dir, max_hamming).to_pandas()
     out = out[["id_a", "id_b", "hamming"]]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_pairs_oracle_sql(max_hamming: int = 6, k: int = 5) -> str:
+    """DuckDB oracle for ``simhash_pairs`` — bit-exact.
+
+    Replays the whole chain in SQL: the rolling k-gram hash + SplitMix64
+    (``hashing.splitmix64_sql_ctes``, as in the fingerprint oracle), the
+    DISTINCT shingle set per document, the majority-bit SimHash (64-way bit
+    expansion + per-bit counts; zero-shingle documents get signature 0,
+    exactly like the engine), then all-pairs Hamming ≤ ``max_hamming`` via
+    ``bit_count(xor(...))``. Valid because the engine's 8×8-bit banding is
+    COMPLETE for Hamming ≤ 7 (pigeonhole), so at the default threshold the
+    banded pair set equals the all-pairs set (the salted-window cap never
+    trips at oracle scales — ``dropped`` is carried and is 0 there)."""
+    from bibexpy_ray.functions import hashing as _h
+
+    m64 = 1 << 64
+    pows = [pow(_h.GOLDEN_INT, t, m64) for t in range(k)]
+    terms = " + ".join(
+        f"CAST(unicode(substr(text, CAST(i AS INT) + {j}, 1)) AS HUGEINT)"
+        f" * {pows[k - 1 - j]}"
+        for j in range(k)
+    )
+    sm_frag, sm_cte = _h.splitmix64_sql_ctes(
+        "g1", "rolled", "hv", ["doc_id", "i"], "sh"
+    )
+    return (
+        "WITH g0 AS (SELECT doc_id, text, "
+        f"unnest(range(1, CAST(len(text) AS BIGINT) - {k - 2})) AS i "
+        "FROM documents), "
+        f"g1 AS (SELECT doc_id, i, CAST(({terms}) % {m64} AS UBIGINT) AS rolled FROM g0), "
+        f"{sm_frag}, "
+        f"sh AS (SELECT DISTINCT doc_id, hv FROM {sm_cte}), "
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), "
+        "bits AS (SELECT doc_id, b, "
+        "SUM(CAST((hv >> CAST(b AS INT)) & 1 AS BIGINT)) AS ones "
+        "FROM sh CROSS JOIN (SELECT unnest(range(64)) AS b) t GROUP BY 1, 2), "
+        "sig0 AS (SELECT bits.doc_id, "
+        "SUM(CASE WHEN 2 * ones > n "
+        "THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INT) AS HUGEINT) "
+        "ELSE 0 END) AS sig "
+        "FROM bits JOIN cnt USING (doc_id) GROUP BY 1), "
+        "sigs AS (SELECT d.doc_id, CAST(coalesce(s.sig, 0) AS UBIGINT) AS sig "
+        "FROM documents d LEFT JOIN sig0 s USING (doc_id)) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming "
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"
+    )
