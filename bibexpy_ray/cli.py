@@ -49,6 +49,12 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         result = dedup_images(feat_ds, cfg)
     full_ds = rd.read_parquet(args.input)  # canonical output carries payloads
     manifest = save_run(result, full_ds, args.out)
+    if getattr(args, "xlsx", None):
+        # Statistic.xlsx-style report workbook (reference download analog)
+        from bibexpy_ray.pipelines.export import export_run_xlsx
+
+        export_run_xlsx(result, args.xlsx)
+        manifest = {**manifest, "xlsx": args.xlsx}
     print(json.dumps({"metrics": result.metrics, **manifest}))
     ray.shutdown()
     return 0
@@ -130,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", required=True, help="run output directory")
     d.add_argument("--checkpoints", default=None, help="stage-checkpoint dir (resume)")
     d.add_argument("--num-cpus", type=int, default=None)
+    d.add_argument(
+        "--xlsx", default=None,
+        help="also write a Summary/Clusters/Match_Audit/Borderline workbook",
+    )
     d.set_defaults(fn=cmd_dedup)
 
     di = sub.add_parser(

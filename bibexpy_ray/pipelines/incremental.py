@@ -55,11 +55,13 @@ import ray.data as rd
 from bibexpy_ray.config import DedupConfig
 from bibexpy_ray.functions.hashing import text_hash_u64
 
-#: above this many base canonical rows the uid gate (8 B/row broadcast)
+#: above this many base canonical rows the uid gate (16 B/row broadcast —
+#: uid + identity witness, so gate hits are exact under uid collisions)
 #: is skipped — the run stays CORRECT (base pairs re-verify and re-split
 #: into the same clusters, deterministically) but does redundant work;
-#: the cap keeps the broadcast ~1.6 GB. Mirrors the verify-stage
-#: BROADCAST_LIMIT convention in dedup_images.py.
+#: the cap keeps the broadcast ~3.2 GB, zero-copy-mapped per node from
+#: the object store. Mirrors the verify-stage BROADCAST_LIMIT convention
+#: in dedup_images.py.
 GATE_LIMIT = 200_000_000
 
 #: final cluster-table columns (DedupResult.clusters schema + lineage)

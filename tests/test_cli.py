@@ -23,9 +23,11 @@ def test_cli_synth_and_dedup(tmp_path):
 
     run_dir = str(tmp_path / "run")
     ckpt = str(tmp_path / "ckpt")
+    xlsx = str(tmp_path / "run.xlsx")
     out = subprocess.run(
         [sys.executable, "-m", "bibexpy_ray.cli", "dedup", "--input", corpus,
-         "--out", run_dir, "--checkpoints", ckpt, "--num-cpus", "2"],
+         "--out", run_dir, "--checkpoints", ckpt, "--num-cpus", "2",
+         "--xlsx", xlsx],
         capture_output=True, text=True, timeout=300,
         cwd=REPO, env={**os.environ, "PYTHONPATH": REPO, "RAY_ADDRESS": ""},
     )
@@ -34,6 +36,11 @@ def test_cli_synth_and_dedup(tmp_path):
     assert result["metrics"]["clusters"] == 20  # 10 cohorts x 2 clusters
     assert os.path.exists(os.path.join(run_dir, "manifest.json"))
     assert os.path.exists(os.path.join(run_dir, "exports", "clusters.tsv"))
+    from bibexpy_ray.sources.xlsx import read_xlsx
+
+    wb = read_xlsx(xlsx)
+    assert list(wb) == ["Summary", "Clusters", "Match_Audit", "Borderline"]
+    assert len(wb["Clusters"]) == 20
     # --checkpoints engages path-mode per-partition feature checkpoints
     import glob as _glob
     assert _glob.glob(os.path.join(ckpt, "stage=features", "part-*", "_DONE"))
