@@ -207,3 +207,117 @@ def test_field_components_is_a_partition_refining_token_overlap(sets):
     for i, l in enumerate(labels):
         assert l <= i
         assert labels[l] == l
+
+
+# ---------------------------------------------------------------------------
+# XLSX round-trip (stdlib sink/source)
+# ---------------------------------------------------------------------------
+
+_XL_TEXT = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"),  # no surrogates / control chars
+    ),
+    max_size=40,
+)
+
+
+@given(
+    st.lists(_XL_TEXT, min_size=1, max_size=8),
+    st.lists(st.integers(-(2**53), 2**53), min_size=1, max_size=8),
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_xlsx_roundtrip_property(strs, ints, floats):
+    import pandas as pd
+
+    from bibexpy_ray.sources.xlsx import read_xlsx, write_xlsx
+
+    n = min(len(strs), len(ints), len(floats))
+    df = pd.DataFrame(
+        {"s": strs[:n], "i": ints[:n], "f": floats[:n]}
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.xlsx")
+        write_xlsx(df, p)
+        got = read_xlsx(p)["Sheet1"]
+    assert got["s"].tolist() == df["s"].tolist()
+    assert [int(v) for v in got["i"]] == df["i"].tolist()
+    assert [float(v) for v in got["f"]] == df["f"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# uid collision-rule replay (pure-function invariants, no Ray)
+# ---------------------------------------------------------------------------
+
+_IDS = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=12),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@given(_IDS, st.integers(6, 16))
+@settings(max_examples=30, deadline=None)
+def test_uid_replay_without_rules_is_masked_hash(ids, bits):
+    import numpy as np
+    import pyarrow as pa
+
+    from bibexpy_ray.functions import hashing
+    from bibexpy_ray.stages.signer import replay_uid_rules, uid_base
+
+    arr = pa.array(ids, type=pa.string())
+    got = replay_uid_rules(arr, [], bits)
+    want = hashing.text_hash_u64(arr) & np.uint64((1 << bits) - 1)
+    assert (got == want).all()
+    assert (got == uid_base(arr, bits)).all()
+
+
+@given(_IDS, st.integers(8, 14))
+@settings(max_examples=20, deadline=None)
+def test_uid_salted_rule_keeps_keeper_and_moves_losers(ids, bits):
+    """Simulate one resolver round by hand: for every colliding uid the
+    min-witness row must keep its uid under replay and every other row of
+    that uid must move off it (to the salted hash)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bibexpy_ray.functions import hashing
+    from bibexpy_ray.stages.signer import (
+        UID_SALT_SEEDS,
+        replay_uid_rules,
+        uid_base,
+        uid_witness,
+    )
+
+    arr = pa.array(ids, type=pa.string())
+    u = uid_base(arr, bits)
+    w = uid_witness(arr)
+    # build the round-1 rule exactly as the resolver would
+    order = np.lexsort((w, u))
+    us, ws = u[order], w[order]
+    starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+    counts = np.r_[starts[1:], len(us)] - starts
+    coll = starts[counts >= 2]
+    if coll.size == 0:
+        return
+    rules = [(us[coll], ws[coll], UID_SALT_SEEDS[0])]
+    got = replay_uid_rules(arr, rules, bits)
+    mask = np.uint64((1 << bits) - 1)
+    for i, ident in enumerate(ids):
+        if u[i] in set(int(x) for x in us[coll]):
+            k = np.searchsorted(us[coll], u[i])
+            if w[i] == ws[coll][k]:
+                assert got[i] == u[i], "keeper must keep its uid"
+            else:
+                salted = hashing.text_hash_u64([ident], seed=UID_SALT_SEEDS[0])[0]
+                assert got[i] == (salted & mask), "loser must take the salted uid"
+        else:
+            assert got[i] == u[i]
