@@ -89,6 +89,8 @@ class DedupConfig:
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perms:
             raise ValueError("lsh_bands * lsh_rows must equal num_perms")
+        if not 1 <= self.uid_bits <= 64:
+            raise ValueError("uid_bits must be in [1, 64]")
 
 
 DEFAULT_CONFIG = DedupConfig()
