@@ -370,7 +370,8 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
 
         return lab_ds.map_batches(mark, batch_format="pyarrow")
 
-    for _ in range(max_rounds):
+    last_sum: "int | None" = None
+    for round_no in range(max_rounds):
         # edge endpoints pick up their current labels (two co-partition passes)
         with_a = hash_partition_apply(
             edges.union(marked_labels(labels, "id_a")),
@@ -451,49 +452,54 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
             empty_like=_mt(image_id=_idt, cluster_id=_idt), arrow=True,
         ).materialize()
 
-        # convergence: any label changed this round? (one more co-partition)
-        def to_old(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {"image_id": _col(t, "image_id"), "_lab": _col(t, "cluster_id")}
-            )
-
-        old = labels.map_batches(to_old, batch_format="pyarrow")
-
-        def count_changed(part: pa.Table) -> pa.Table:
-            names = part.schema.names
-            if "_lab" not in names or "cluster_id" not in names:
-                return pa.table({"c": pa.array([0], type=pa.int64())})
-            is_old = pc.is_null(part.column("cluster_id"))
-            om_t = part.filter(is_old)
-            om = pa.table(
-                {"image_id": _col(om_t, "image_id"), "old": _col(om_t, "_lab")}
-            )
-            nw = part.filter(pc.invert(is_old)).select(["image_id", "cluster_id"])
-            if nw.num_rows == 0:
-                return pa.table({"c": pa.array([0], type=pa.int64())})
-            m = nw.join(om, "image_id", join_type="left outer")
-            diff = pc.sum(
-                pc.cast(
-                    pc.fill_null(
-                        pc.not_equal(m.column("old"), m.column("cluster_id")), True
-                    ),
-                    pa.int64(),
-                )
-            ).as_py() or 0
-            return pa.table({"c": pa.array([int(diff)], type=pa.int64())})
-
-        changed = hash_partition_apply(
-            new_labels.union(old),
-            n_parts,
-            count_changed,
-            key_fn=_key_on("image_id"),
-            empty_like=pa.table({"c": pa.array([], type=pa.int64())}),
-            arrow=True,
-        ).sum("c")
+        # convergence: the (image_id, cluster_id) MULTISET is unchanged iff
+        # its order-free checksum is — a streaming sum of per-row 64-bit
+        # hashes (one cheap map + aggregate) instead of the co-partition
+        # compare pass this used to cost per round. Equal-sum different
+        # multisets need a 2⁻⁶⁴-scale hash coincidence; the worst case is
+        # one EXTRA round, never a wrong result (labels are monotone
+        # non-increasing, and a genuinely changed fixpoint re-converges).
+        new_sum = _label_checksum(new_labels, id_is_int)
+        old_sum = (
+            _label_checksum(labels, id_is_int) if last_sum is None else last_sum
+        )
+        last_sum = new_sum
         labels = new_labels
-        if not changed:
+        if new_sum == old_sum:
             break
     return labels
+
+
+def _label_checksum(lab_ds, id_is_int: bool) -> int:
+    """Order-free multiset checksum of (image_id, cluster_id) rows: sum of
+    SplitMix64(row-hash) mod 2⁶⁴ — partition- and order-invariant."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bibexpy_ray.functions import hashing
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"s": pa.array([0], type=pa.uint64())})
+
+        def col_hash(name):
+            c = t.column(name)
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            if id_is_int:
+                v = c.to_numpy(zero_copy_only=False).astype(np.uint64)
+                return hashing.splitmix64(v)
+            return hashing.text_hash_u64(c)
+
+        with np.errstate(over="ignore"):
+            h = hashing.splitmix64(
+                col_hash("image_id") * np.uint64(0x9E3779B97F4A7C15)
+                ^ col_hash("cluster_id")
+            )
+            s = np.uint64(np.sum(h, dtype=np.uint64))
+        return pa.table({"s": pa.array([s], type=pa.uint64())})
+
+    parts = lab_ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return int(np.sum(parts["s"].to_numpy(dtype=np.uint64), dtype=np.uint64))
 
 
 def contract_blocks(edges_ds):
