@@ -391,13 +391,28 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
         )
 
         def emit_min(t: pa.Table) -> pa.Table:
-            lo = pc.min_element_wise(_col(t, "lab_a"), _col(t, "lab_b"))
+            la, lb = _col(t, "lab_a"), _col(t, "lab_b")
+            lo = pc.min_element_wise(la, lb)
+            # emit ONLY strict improvements: a row whose endpoint already
+            # holds lo is redundant (the labels union carries it), so in
+            # converged regions — most of the graph after a round or two —
+            # the dedupe_min input shrinks from 2·E + V toward V + Δ
+            imp_a = pc.fill_null(pc.less(lo, la), False)
+            imp_b = pc.fill_null(pc.less(lo, lb), False)
             return pa.table(
                 {
                     "image_id": pa.concat_arrays(
-                        [_col(t, "id_a").cast(_idt), _col(t, "id_b").cast(_idt)]
+                        [
+                            _col(t.filter(imp_a), "id_a").cast(_idt),
+                            _col(t.filter(imp_b), "id_b").cast(_idt),
+                        ]
                     ),
-                    "cluster_id": pa.concat_arrays([lo.cast(_idt)] * 2),
+                    "cluster_id": pa.concat_arrays(
+                        [
+                            lo.filter(imp_a).cast(_idt),
+                            lo.filter(imp_b).cast(_idt),
+                        ]
+                    ),
                 }
             )
 
@@ -410,8 +425,24 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
         # shortcut). Every cluster_id is itself a labeled node, so the
         # lookup is total.
         def to_probe(t: pa.Table) -> pa.Table:
+            # self-labeled roots bypass the jump shuffle entirely (their
+            # lookup is the identity); after convergence most labels are
+            # roots, so the jump traffic shrinks toward the frontier
+            moved = pc.invert(
+                pc.equal(t.column("image_id"), t.column("cluster_id"))
+            )
+            t = t.filter(pc.fill_null(moved, True))
             return pa.table(
                 {"image_id": _col(t, "image_id"), "jump_key": _col(t, "cluster_id")}
+            )
+
+        def to_bypass(t: pa.Table) -> pa.Table:
+            keep = pc.fill_null(
+                pc.equal(t.column("image_id"), t.column("cluster_id")), False
+            )
+            t = t.filter(keep)
+            return pa.table(
+                {"image_id": _col(t, "image_id"), "cluster_id": _col(t, "cluster_id")}
             )
 
         def to_build(t: pa.Table) -> pa.Table:
@@ -426,6 +457,7 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
             )
 
         probe = new_labels.map_batches(to_probe, batch_format="pyarrow")
+        bypass = new_labels.map_batches(to_bypass, batch_format="pyarrow")
         build = new_labels.map_batches(to_build, batch_format="pyarrow")
 
         def jump(part: pa.Table) -> pa.Table:
@@ -447,10 +479,14 @@ def clusters_distributed(edges_ds, max_rounds: int = 20):
                 }
             )
 
-        new_labels = hash_partition_apply(
-            probe.union(build), n_parts, jump, key_fn=_key_on("jump_key"),
-            empty_like=_mt(image_id=_idt, cluster_id=_idt), arrow=True,
-        ).materialize()
+        new_labels = (
+            hash_partition_apply(
+                probe.union(build), n_parts, jump, key_fn=_key_on("jump_key"),
+                empty_like=_mt(image_id=_idt, cluster_id=_idt), arrow=True,
+            )
+            .union(bypass)
+            .materialize()
+        )
 
         # convergence: the (image_id, cluster_id) MULTISET is unchanged iff
         # its order-free checksum is — a streaming sum of per-row 64-bit
