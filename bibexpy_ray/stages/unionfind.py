@@ -14,6 +14,11 @@ Two implementations:
   (pointer jumping) expressed as Ray Dataset ops — O(log n) rounds of
   groupby-min; the scale path when the edge set itself is too large to collect.
   (BTS, ICDE 2024 is the load-balanced blueprint — see PAPERS.md.)
+  Measured negative result, do not retry blindly: an inner
+  jump-until-fixpoint loop (full path compression per round) HALVED the
+  attach-round count but ran 2.2× slower end-to-end at 2M edges — every
+  extra jump pass pays the same per-shuffle fixed cost that dominates this
+  workload, so one jump per round is the right trade here.
 
 Canonical cluster id = lexicographic min member id — order-free and
 deterministic regardless of Ray block ordering (SURVEY.md §7.5).
